@@ -1,0 +1,23 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip code paths (shard_map over a Mesh) are exercised without TPU
+hardware via --xla_force_host_platform_device_count, mirroring the
+multi-host test strategy SURVEY.md §4 calls for.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+REF = "/root/reference/RTBase"
+
+
+def ref_path(*parts):
+    return os.path.join(REF, *parts)
