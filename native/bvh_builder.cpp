@@ -1,0 +1,200 @@
+// Native binned-SAH BVH builder.
+//
+// Same array contract as raytracingrenderer_tpu/geometry/bvh.py (flat
+// depth-first nodes, left child = i+1, `right` = right-child index or -1
+// for leaves) — the Python builder is the reference implementation and
+// test oracle; this one exists because scene loads for the big scenes
+// (bathroom: ~331k triangles, SURVEY.md §2.8) are host-latency bound.
+// Mirrors the capability of the reference's BVHNode::build
+// (/root/reference/RTBase/Geometry.h:325-398) but with real binned SAH
+// instead of sort-per-split.
+//
+// Build: make -C native   (produces libbvh.so; loaded via ctypes)
+
+#include <algorithm>
+#include <cfloat>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kNumBins = 16;
+constexpr float kTraverseCost = 1.0f;
+constexpr float kTriangleCost = 2.0f;
+
+struct Vec3 {
+  float x, y, z;
+};
+
+inline Vec3 vmin(const Vec3& a, const Vec3& b) {
+  return {std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z)};
+}
+inline Vec3 vmax(const Vec3& a, const Vec3& b) {
+  return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)};
+}
+
+struct AABB {
+  Vec3 lo{FLT_MAX, FLT_MAX, FLT_MAX};
+  Vec3 hi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+  void extend(const AABB& o) {
+    lo = vmin(lo, o.lo);
+    hi = vmax(hi, o.hi);
+  }
+  float area() const {
+    float dx = std::max(hi.x - lo.x, 0.f);
+    float dy = std::max(hi.y - lo.y, 0.f);
+    float dz = std::max(hi.z - lo.z, 0.f);
+    return 2.f * (dx * dy + dy * dz + dz * dx);
+  }
+};
+
+struct Builder {
+  const float* verts;  // (T, 9)
+  int max_leaf;
+  std::vector<AABB> tri_box;
+  std::vector<Vec3> centroid;
+  std::vector<int> order;
+  // output node arrays
+  std::vector<float> lo, hi;
+  std::vector<int> right, start, count;
+
+  int emit(const AABB& b, int r, int s, int c) {
+    lo.insert(lo.end(), {b.lo.x, b.lo.y, b.lo.z});
+    hi.insert(hi.end(), {b.hi.x, b.hi.y, b.hi.z});
+    right.push_back(r);
+    start.push_back(s);
+    count.push_back(c);
+    return static_cast<int>(right.size()) - 1;
+  }
+
+  // Build the subtree over order[first, first+n); returns node index.
+  int build(int first, int n) {
+    AABB bounds;
+    Vec3 cmin{FLT_MAX, FLT_MAX, FLT_MAX};
+    Vec3 cmax{-FLT_MAX, -FLT_MAX, -FLT_MAX};
+    for (int i = 0; i < n; ++i) {
+      int t = order[first + i];
+      bounds.extend(tri_box[t]);
+      cmin = vmin(cmin, centroid[t]);
+      cmax = vmax(cmax, centroid[t]);
+    }
+    if (n <= max_leaf) return emit(bounds, -1, first, n);
+
+    float ext[3] = {cmax.x - cmin.x, cmax.y - cmin.y, cmax.z - cmin.z};
+    int axis = 0;
+    if (ext[1] > ext[axis]) axis = 1;
+    if (ext[2] > ext[axis]) axis = 2;
+    int mid;
+    if (ext[axis] < 1e-12f) {
+      mid = first + n / 2;  // degenerate: even split
+    } else {
+      float cmin_a = axis == 0 ? cmin.x : (axis == 1 ? cmin.y : cmin.z);
+      float inv = kNumBins / ext[axis];
+      AABB bin_box[kNumBins];
+      int bin_cnt[kNumBins] = {0};
+      auto bin_of = [&](int t) {
+        float c = axis == 0 ? centroid[t].x
+                            : (axis == 1 ? centroid[t].y : centroid[t].z);
+        int b = static_cast<int>((c - cmin_a) * inv);
+        return std::min(std::max(b, 0), kNumBins - 1);
+      };
+      for (int i = 0; i < n; ++i) {
+        int t = order[first + i];
+        int b = bin_of(t);
+        bin_box[b].extend(tri_box[t]);
+        bin_cnt[b]++;
+      }
+      // prefix/suffix sweeps
+      float l_area[kNumBins - 1], r_area[kNumBins - 1];
+      int l_cnt[kNumBins - 1], r_cnt[kNumBins - 1];
+      AABB acc;
+      int cnt = 0;
+      for (int b = 0; b < kNumBins - 1; ++b) {
+        acc.extend(bin_box[b]);
+        cnt += bin_cnt[b];
+        l_area[b] = acc.area();
+        l_cnt[b] = cnt;
+      }
+      acc = AABB();
+      cnt = 0;
+      for (int b = kNumBins - 1; b >= 1; --b) {
+        acc.extend(bin_box[b]);
+        cnt += bin_cnt[b];
+        r_area[b - 1] = acc.area();
+        r_cnt[b - 1] = cnt;
+      }
+      int best = -1;
+      float best_cost = FLT_MAX;
+      float inv_root = 1.0f / std::max(bounds.area(), 1e-30f);
+      for (int b = 0; b < kNumBins - 1; ++b) {
+        if (l_cnt[b] == 0 || r_cnt[b] == 0) continue;
+        float cost = kTraverseCost +
+                     kTriangleCost *
+                         (l_area[b] * l_cnt[b] + r_area[b] * r_cnt[b]) *
+                         inv_root;
+        if (cost < best_cost) {
+          best_cost = cost;
+          best = b;
+        }
+      }
+      if (best < 0) {
+        mid = first + n / 2;
+      } else if (best_cost >= kTriangleCost * n && n <= 2 * max_leaf) {
+        return emit(bounds, -1, first, n);  // leaf cheaper than split
+      } else {
+        auto it = std::partition(
+            order.begin() + first, order.begin() + first + n,
+            [&](int t) { return bin_of(t) <= best; });
+        mid = static_cast<int>(it - order.begin());
+        if (mid == first || mid == first + n) mid = first + n / 2;
+      }
+    }
+    int node = emit(bounds, 0, 0, 0);  // patched below
+    build(first, mid - first);
+    int r = build(mid, first + n - mid);
+    right[node] = r;
+    return node;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns the node count (<= 2*t_count); caller allocates outputs with
+// capacity 2*t_count (nodes) and t_count (order).
+int bvh_build(const float* tri_verts, int t_count, int max_leaf,
+              float* out_lo, float* out_hi, int* out_right,
+              int* out_start, int* out_count, int* out_order) {
+  if (t_count <= 0) return 0;
+  Builder b;
+  b.verts = tri_verts;
+  b.max_leaf = max_leaf;
+  b.tri_box.resize(t_count);
+  b.centroid.resize(t_count);
+  b.order.resize(t_count);
+  for (int t = 0; t < t_count; ++t) {
+    const float* v = tri_verts + 9 * t;
+    Vec3 p0{v[0], v[1], v[2]}, p1{v[3], v[4], v[5]}, p2{v[6], v[7], v[8]};
+    b.tri_box[t].lo = vmin(vmin(p0, p1), p2);
+    b.tri_box[t].hi = vmax(vmax(p0, p1), p2);
+    b.centroid[t] = {(p0.x + p1.x + p2.x) / 3.f, (p0.y + p1.y + p2.y) / 3.f,
+                     (p0.z + p1.z + p2.z) / 3.f};
+    b.order[t] = t;
+  }
+  int n_tri = t_count;
+  b.lo.reserve(6 * n_tri);
+  b.hi.reserve(6 * n_tri);
+  b.build(0, n_tri);
+  int n_nodes = static_cast<int>(b.right.size());
+  std::memcpy(out_lo, b.lo.data(), sizeof(float) * 3 * n_nodes);
+  std::memcpy(out_hi, b.hi.data(), sizeof(float) * 3 * n_nodes);
+  std::memcpy(out_right, b.right.data(), sizeof(int) * n_nodes);
+  std::memcpy(out_start, b.start.data(), sizeof(int) * n_nodes);
+  std::memcpy(out_count, b.count.data(), sizeof(int) * n_nodes);
+  std::memcpy(out_order, b.order.data(), sizeof(int) * n_tri);
+  return n_nodes;
+}
+}

@@ -1,0 +1,35 @@
+"""Render configuration (replaces the reference's compile-time constants,
+/root/reference/RTBase/Renderer.h:18-24 and hand-parsed CLI flags,
+Main.cpp:29-66)."""
+from __future__ import annotations
+
+import dataclasses
+
+# Reference constants (Renderer.h:18-24, Geometry.h:60)
+TILE_SIZE = 32
+MAX_DEPTH = 4
+MAX_SAMPLES = 10240
+MIN_SAMPLES = 1
+INIT_SAMPLES = 2
+MAX_VPL = 50
+EPSILON = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    spp: int = 8192                  # reference default (Main.cpp:26)
+    max_depth: int = MAX_DEPTH       # NEE continues one extra bounce
+    rr_cap: float = 0.9              # Russian roulette cap (Renderer.h:353)
+    mis: bool = True                 # balance-heuristic MIS (reference has
+                                     # computeDirectMIS but ships computeDirect)
+    jitter: bool = False             # sub-pixel jitter (reference renders
+                                     # pixel centres only, Renderer.h:806-808)
+    integrator: str = "path"         # path | lighttrace | vpl | direct |
+                                     # albedo | normals | adaptive
+    batch_rays: int = 1 << 18        # rays per device dispatch
+    exposure: float = 1.0
+    seed: int = 0
+    # Debug switches: zero out one MIS strategy (for estimator tests —
+    # the two halves must sum to the NEE-mode estimate in expectation).
+    debug_no_nee: bool = False
+    debug_no_emission: bool = False

@@ -1,0 +1,65 @@
+"""Differentiable rendering: gradients of the path-traced estimate
+w.r.t. scene parameters (materials, lights, environment).
+
+The reference renderer is forward-only; differentiability is a
+first-class goal of this framework (BASELINE.json north star).  Strategy
+(SURVEY.md §7): discrete path structure — hit ids, barycentrics, RR and
+lobe decisions — is stop-gradiented (detached-sampling estimator);
+radiometric quantities (albedo, emission, Fresnel/GGX terms, env
+radiance) carry gradients through the bounce scan.
+
+`train_step` is the canonical "training step": render a low-spp image,
+MSE against a target, SGD on material albedo + emission.  It is what
+`__graft_entry__.dryrun_multichip` shards over a device mesh.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import RenderConfig
+from .core.vec import V3
+from .render import sample_image
+from .scene.types import Scene
+
+
+def _split_scene(scene: Scene):
+    """Split the scene into (differentiable params, static rest)."""
+    params = dict(
+        albedo=scene.materials.albedo,
+        emission=scene.materials.emission,
+        light_le=scene.lights.le,
+    )
+    return params, scene
+
+
+def _merge_scene(params, scene: Scene) -> Scene:
+    mats = scene.materials._replace(albedo=params["albedo"],
+                                    emission=params["emission"])
+    lights = scene.lights._replace(le=params["light_le"])
+    return scene._replace(materials=mats, lights=lights)
+
+
+def render_loss(params, scene: Scene, target: jax.Array, key,
+                cfg: RenderConfig) -> jax.Array:
+    img = sample_image(_merge_scene(params, scene), key, cfg)
+    return jnp.mean((img - target) ** 2)
+
+
+def train_step(scene: Scene, target: jax.Array, key, cfg: RenderConfig,
+               lr: float = 0.1) -> Tuple[Scene, jax.Array]:
+    """One SGD step on (albedo, emission, light Le).  jit-able."""
+    params, _ = _split_scene(scene)
+    loss, grads = jax.value_and_grad(render_loss)(params, scene, target,
+                                                  key, cfg)
+    new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params,
+                                        grads)
+    return _merge_scene(new_params, scene), loss
+
+
+def param_grads(scene: Scene, target: jax.Array, key, cfg: RenderConfig):
+    """Gradients only (for gradient-check tests vs finite differences)."""
+    params, _ = _split_scene(scene)
+    return jax.grad(render_loss)(params, scene, target, key, cfg)

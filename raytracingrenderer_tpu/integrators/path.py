@@ -1,0 +1,151 @@
+"""Wavefront path tracer: NEE (+MIS) with Russian roulette as lax.scan.
+
+TPU-native re-design of reference RayTracer::pathTrace
+(/root/reference/RTBase/Renderer.h:328-392): the per-pixel recursion
+becomes a bounce-major lax.scan over flat ray batches with alive masks —
+RR, depth cutoff and emissive termination are masking, matching the
+reference's control flow:
+
+  depth 0..max_depth   : emissive-hit add -> NEE -> RR -> BSDF continue
+  depth max_depth+1    : emissive-hit add -> NEE -> stop (Renderer.h:349)
+
+Differences by design (SURVEY.md §7 "behavior-aware, not bug-faithful"):
+- MIS between light and BSDF strategies is on by default (the reference
+  implements computeDirectMIS but ships non-MIS computeDirect); the
+  cfg.mis=False mode reproduces the reference's canHitLight semantics
+  exactly.
+- Escaped rays multiply the background radiance by the path throughput
+  (the reference forgets the throughput on its miss path, Renderer.h:390).
+- Emission is one-sided (consistent with AreaLight::evaluate and the NEE
+  cos_light clamp; the reference's emissive-hit path is two-sided).
+
+The whole estimator is differentiable w.r.t. scene parameters: hit
+structure (triangle ids, barycentrics) is stop-gradiented discrete
+structure; radiometric quantities flow.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EPSILON, RenderConfig
+from ..core.vec import V3, vwhere
+from ..geometry import intersect
+from ..lights import lights as lights_mod
+from ..materials import bsdf as bsdf_mod
+from ..sampling import rng
+from ..scene.types import Scene
+from .common import Shading, balance_heuristic, compute_direct, shading_data
+
+
+def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
+                   cfg: RenderConfig) -> V3:
+    """Estimate radiance along a batch of primary rays (one sample/ray)."""
+    n = o.x.shape[0]
+    zero = V3.zeros(n)
+    one = V3.full(n, 1.0, 1.0, 1.0)
+
+    state = dict(
+        o=o, d=d,
+        throughput=one, radiance=zero,
+        alive=jnp.ones(n, bool),
+        # canHitLight=True on the primary ray and after specular bounces
+        # (Renderer.h:336-344,391)
+        can_hit_light=jnp.ones(n, bool),
+        prev_pdf=jnp.zeros(n),  # solid-angle pdf of the previous BSDF draw
+    )
+
+    def bounce(state, depth):
+        o, d = state["o"], state["d"]
+        alive = state["alive"]
+        beta = state["throughput"]
+        radiance = state["radiance"]
+
+        hit = intersect.closest_hit(scene, o, d)
+        found = hit.valid & alive
+        missed = alive & ~hit.valid
+
+        # ---- escaped rays: background ---------------------------------
+        bg = lights_mod.eval_background(scene, d)
+        if cfg.mis and lights_mod.background_enabled(scene):
+            # MIS counterweight for the env light reached by BSDF sampling.
+            n_l = lights_mod.num_lights(scene)
+            pdf_l = lights_mod.background_pdf(scene, d) / max(n_l, 1)
+            w_bg = jnp.where(state["can_hit_light"], 1.0,
+                             balance_heuristic(state["prev_pdf"], pdf_l))
+        elif cfg.mis:
+            w_bg = jnp.ones(n)
+        else:
+            w_bg = jnp.ones(n)  # reference adds background unconditionally
+        radiance = radiance + vwhere(missed, beta * bg * w_bg, zero)
+
+        sh = shading_data(scene, hit, o, d)
+
+        # ---- emissive hit: add Le, terminate --------------------------
+        hit_le = sh.mp.emission
+        one_sided = d.dot(sh.gn) < 0.0  # AreaLight::evaluate sidedness
+        is_light = found & sh.mp.is_emissive
+        if cfg.mis:
+            pdf_l = lights_mod.hit_light_pdf_solid(
+                scene, sh.light_id, o, sh.x, sh.gn)
+            w_le = jnp.where(state["can_hit_light"], 1.0,
+                             balance_heuristic(state["prev_pdf"], pdf_l))
+        else:
+            w_le = state["can_hit_light"].astype(jnp.float32)
+        add_le = is_light & one_sided
+        if not cfg.debug_no_emission:
+            radiance = radiance + vwhere(add_le, beta * hit_le * w_le,
+                                         zero)
+
+        shade = found & ~is_light  # reference terminates on lights
+
+        # ---- NEE ------------------------------------------------------
+        skey = rng.decision_key(key, depth, 0)
+        r_pick = rng.uniform(key, depth, rng.LIGHT_PICK, (n,))
+        r_lu = rng.uniform(key, depth, rng.LIGHT_POS_U, (n,))
+        r_lv = rng.uniform(key, depth, rng.LIGHT_POS_V, (n,))
+        direct = compute_direct(scene, sh, shade, r_pick, r_lu, r_lv,
+                                cfg.mis)
+        if not cfg.debug_no_nee:
+            radiance = radiance + beta * direct
+
+        # ---- depth cutoff / RR / BSDF continuation --------------------
+        cont = shade & (depth <= cfg.max_depth)
+        rr_p = jnp.minimum(beta.lum(), cfg.rr_cap)
+        r_rr = rng.uniform(key, depth, rng.RR, (n,))
+        survive = cont & (r_rr < rr_p)
+        beta = vwhere(survive, beta / jnp.maximum(rr_p, 1e-9), beta)
+
+        r1 = rng.uniform(key, depth, rng.BSDF_U, (n,))
+        r2 = rng.uniform(key, depth, rng.BSDF_V, (n,))
+        rl = rng.uniform(key, depth, rng.BSDF_LOBE, (n,))
+        wi_local, colour, pdf, ok = bsdf_mod.sample(
+            sh.mp, sh.wo_local, r1, r2, rl)
+        specular = bsdf_mod.is_specular(sh.mp.mtype)
+        # throughput update (Renderer.h:362-374): specular lanes skip the
+        # cosine (their colour/pdf already account for it)
+        cos_term = jnp.where(specular, 1.0, jnp.abs(wi_local.z))
+        weight = colour * (cos_term / jnp.maximum(pdf, 1e-9))
+        alive_next = survive & ok & (weight.max_comp() > 0.0)
+        beta = vwhere(alive_next, beta * weight, beta)
+
+        wi = sh.frame.to_world(wi_local)
+        new_o = sh.x + wi * EPSILON
+        new_state = dict(
+            o=vwhere(alive_next, new_o, o),
+            d=vwhere(alive_next, wi, d),
+            throughput=beta,
+            radiance=radiance,
+            alive=alive_next,
+            can_hit_light=jnp.where(alive_next, specular,
+                                    state["can_hit_light"]),
+            prev_pdf=jnp.where(alive_next, pdf, state["prev_pdf"]),
+        )
+        return new_state, None
+
+    n_bounces = cfg.max_depth + 2  # depths 0..max_depth+1 (see docstring)
+    state, _ = jax.lax.scan(bounce, state,
+                            jnp.arange(n_bounces, dtype=jnp.int32))
+    return state["radiance"]

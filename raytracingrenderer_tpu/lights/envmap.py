@@ -1,0 +1,150 @@
+"""Lat-long environment map: evaluation + luminance-CDF importance sampling.
+
+Direction<->uv convention matches reference EnvironmentMap::evaluate
+(/root/reference/RTBase/Lights.h:150-157): y-up, u = atan2(z,x)/2pi,
+v = acos(y)/pi.  The reference leaves luminance-weighted importance
+sampling as an unfinished TODO (Lights.h:158-161,194-199) and falls back
+to uniform-sphere sampling; here the marginal/conditional CDF tables are
+built at load time (host, numpy) and sampled on device with two
+searchsorted gathers — the design BASELINE.json requires.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.vec import V3
+from ..scene.types import EnvMap
+
+TWO_PI = 2.0 * np.pi
+INV_2PI = 1.0 / TWO_PI
+INV_PI = 1.0 / np.pi
+
+
+def build_envmap(data: np.ndarray) -> EnvMap:
+    """Precompute CDF tables from (H, W, 3) radiance (host-side)."""
+    data = np.asarray(data, np.float32)
+    h, w, _ = data.shape
+    lum = (0.2126 * data[..., 0] + 0.7152 * data[..., 1]
+           + 0.0722 * data[..., 2]).astype(np.float64)
+    # Weight each texel by the average of the bilinear reconstruction
+    # over its cell (mean of its 4 corner texels, wrap like the sampler)
+    # so pdf and evaluate() describe the same signal — a point-sampled
+    # pdf under a bilinear evaluate() spikes the estimator at hard edges.
+    lum_cell = 0.25 * (lum + np.roll(lum, -1, axis=1)
+                       + np.roll(lum, -1, axis=0)
+                       + np.roll(np.roll(lum, -1, axis=0), -1, axis=1))
+    # sin(theta) weight per row; reference totalIntegratedPower uses
+    # sin(i/H * pi) (Lights.h:171-184) but texel centres are better.
+    st = np.sin((np.arange(h) + 0.5) / h * np.pi)
+    weights = lum_cell * st[:, None] + 1e-12
+    row_sums = weights.sum(axis=1)
+    total = row_sums.sum()
+    marginal_pdf = row_sums / total                       # (H,)
+    conditional_pdf = weights / row_sums[:, None]         # (H, W)
+    marginal_cdf = np.cumsum(marginal_pdf)
+    marginal_cdf[-1] = 1.0
+    conditional_cdf = np.cumsum(conditional_pdf, axis=1)
+    conditional_cdf[:, -1] = 1.0
+    # density over (u,v) in [0,1]^2
+    pdf2d = (marginal_pdf[:, None] * h) * (conditional_pdf * w)
+    # Reference-parity power estimate (Lights.h:171-184): sin-weighted mean
+    # of luminance * 4pi (the reference uses sin(i/H*pi)).
+    st_ref = np.sin(np.arange(h) / h * np.pi)
+    mean_power = float((lum * st_ref[:, None]).mean() * 4.0 * np.pi)
+    return EnvMap(
+        data=jnp.asarray(data),
+        marginal_cdf=jnp.asarray(marginal_cdf, jnp.float32),
+        conditional_cdf=jnp.asarray(conditional_cdf, jnp.float32),
+        pdf2d=jnp.asarray(pdf2d, jnp.float32),
+        mean_power=jnp.asarray(mean_power, jnp.float32),
+    )
+
+
+def dir_to_uv(wi: V3) -> Tuple[jax.Array, jax.Array]:
+    u = jnp.arctan2(wi.z, wi.x)
+    u = jnp.where(u < 0.0, u + TWO_PI, u) * INV_2PI
+    v = jnp.arccos(jnp.clip(wi.y, -1.0, 1.0)) * INV_PI
+    return u, v
+
+
+def uv_to_dir(u: jax.Array, v: jax.Array) -> V3:
+    phi = u * TWO_PI
+    theta = v * jnp.pi
+    st = jnp.sin(theta)
+    return V3(st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi))
+
+
+def evaluate(env: EnvMap, wi: V3) -> V3:
+    """Radiance along wi; bilinear with wrap, reference Texture::sample
+    semantics (floor-grid, no half-texel offset, Imaging.h:72-95)."""
+    u, v = dir_to_uv(wi)
+    h, w = env.data.shape[0], env.data.shape[1]
+    uu = u * w
+    vv = v * h
+    x0f = jnp.floor(uu)
+    y0f = jnp.floor(vv)
+    fu = uu - x0f
+    fv = vv - y0f
+    x0 = x0f.astype(jnp.int32) % w
+    y0 = y0f.astype(jnp.int32) % h
+    x1 = (x0 + 1) % w
+    y1 = (y0 + 1) % h
+
+    def tex(y, x):
+        t = env.data[y, x]
+        return V3(t[..., 0], t[..., 1], t[..., 2])
+
+    return (tex(y0, x0) * ((1 - fu) * (1 - fv))
+            + tex(y0, x1) * (fu * (1 - fv))
+            + tex(y1, x0) * ((1 - fu) * fv)
+            + tex(y1, x1) * (fu * fv))
+
+
+def sample(env: EnvMap, r1: jax.Array, r2: jax.Array
+           ) -> Tuple[V3, jax.Array]:
+    """Importance-sample a direction; returns (wi, pdf in solid angle).
+
+    Two inverse-CDF lookups (row by r1, column within row by r2) with
+    continuous offset inside the chosen texel for stratification.
+    """
+    h, w = env.data.shape[0], env.data.shape[1]
+    y = jnp.searchsorted(env.marginal_cdf, r1, side="right")
+    y = jnp.clip(y, 0, h - 1).astype(jnp.int32)
+    cdf_lo = jnp.where(y > 0, env.marginal_cdf[jnp.maximum(y - 1, 0)], 0.0)
+    seg = jnp.maximum(env.marginal_cdf[y] - cdf_lo, 1e-12)
+    dv = jnp.clip((r1 - cdf_lo) / seg, 0.0, 1.0)
+
+    row_cdf = env.conditional_cdf[y]                      # (..., W) gather
+    x = jnp.sum((row_cdf < r2[..., None]).astype(jnp.int32), axis=-1)
+    x = jnp.clip(x, 0, w - 1).astype(jnp.int32)
+    ccdf_lo = jnp.where(
+        x > 0,
+        jnp.take_along_axis(row_cdf, jnp.maximum(x - 1, 0)[..., None],
+                            axis=-1)[..., 0], 0.0)
+    cseg = jnp.maximum(
+        jnp.take_along_axis(row_cdf, x[..., None], axis=-1)[..., 0]
+        - ccdf_lo, 1e-12)
+    du = jnp.clip((r2 - ccdf_lo) / cseg, 0.0, 1.0)
+
+    u = (x.astype(jnp.float32) + du) / w
+    v = (y.astype(jnp.float32) + dv) / h
+    wi = uv_to_dir(u, v)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - wi.y * wi.y, 1e-12))
+    p_uv = env.pdf2d[y, x]
+    pdf = p_uv / (2.0 * jnp.pi * jnp.pi * sin_theta)
+    return wi, pdf
+
+
+def pdf(env: EnvMap, wi: V3) -> jax.Array:
+    """Solid-angle pdf of `sample` for an arbitrary direction — the PDF
+    the reference's assignment comment asks for (Lights.h:158-161)."""
+    u, v = dir_to_uv(wi)
+    h, w = env.data.shape[0], env.data.shape[1]
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - wi.y * wi.y, 1e-12))
+    return env.pdf2d[y, x] / (2.0 * jnp.pi * jnp.pi * sin_theta)

@@ -32,9 +32,10 @@ class TestHdr:
         p = str(tmp_path / "y.hdr")
         write_hdr(p, img)
         got = read_hdr(p)
-        # RGBE quantizes all three channels on the max channel's exponent:
-        # error bound is maxchannel/256 per pixel, not a per-channel rtol.
-        bound = img.max(axis=-1, keepdims=True) / 256.0 + 1e-4
+        # RGBE quantizes all three channels on the max channel's exponent
+        # with a truncating 8-bit mantissa in [128,256): worst-case error
+        # is maxchannel/128 per pixel, not a per-channel rtol.
+        bound = img.max(axis=-1, keepdims=True) / 128.0 + 1e-4
         assert (np.abs(got - img) <= bound).all()
 
 
@@ -44,7 +45,7 @@ class TestPng:
         np.testing.assert_allclose(p[..., :3].reshape(-1, 3).mean(0),
                                    [0.7215686, 0.7098039, 0.6784314],
                                    atol=1e-3)
-        assert p[..., :3].std() < 1e-6
+        assert p[..., :3].std(axis=(0, 1)).max() < 1e-6  # spatially const
 
     def test_roundtrip(self, tmp_path):
         rng = np.random.default_rng(1)

@@ -1,0 +1,170 @@
+"""BSDF tests: sampling/pdf consistency, white furnace, Fresnel sanity.
+
+The white-furnace and pdf checks are the SURVEY.md §4 obligations the
+reference never had (its microfacet models are stubs).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracingrenderer_tpu.core.vec import V3
+from raytracingrenderer_tpu.materials import bsdf, fresnel
+from raytracingrenderer_tpu.sampling import warps
+from raytracingrenderer_tpu.scene.types import (MAT_CONDUCTOR,
+                                                MAT_DIELECTRIC,
+                                                MAT_DIFFUSE, MAT_GLASS,
+                                                MAT_MIRROR,
+                                                MAT_OREN_NAYAR,
+                                                MAT_PLASTIC)
+
+N = 60_000
+
+
+def make_params(mtype, n=N, albedo=(1.0, 1.0, 1.0), alpha=0.3,
+                int_ior=1.5, ext_ior=1.0, sigma=0.5,
+                eta=(0.2, 0.9, 1.4), k=(3.4, 2.5, 1.9)):
+    f = lambda v: jnp.full(n, v, jnp.float32)  # noqa: E731
+    return bsdf.MatParams(
+        mtype=jnp.full(n, mtype, jnp.int32),
+        albedo=V3(f(albedo[0]), f(albedo[1]), f(albedo[2])),
+        eta=V3(f(eta[0]), f(eta[1]), f(eta[2])),
+        k=V3(f(k[0]), f(k[1]), f(k[2])),
+        int_ior=f(int_ior), ext_ior=f(ext_ior),
+        alpha=f(alpha), sigma=f(sigma),
+        emission=V3.zeros(n), is_emissive=jnp.zeros(n, bool))
+
+
+def fixed_wo(n=N, z=0.6):
+    x = np.sqrt(1 - z * z)
+    return V3(jnp.full(n, x, jnp.float32), jnp.zeros(n),
+              jnp.full(n, z, jnp.float32))
+
+
+def rand3(seed, n=N):
+    k = jax.random.PRNGKey(seed)
+    u = jax.random.uniform(k, (3, n))
+    return u[0], u[1], u[2]
+
+
+def furnace_reflectance(mtype, seed=0, **kw):
+    """E[colour * cos / pdf] over BSDF sampling = directional albedo."""
+    mp = make_params(mtype, **kw)
+    wo = fixed_wo()
+    r1, r2, rl = rand3(seed)
+    wi, colour, pdf, ok = bsdf.sample(mp, wo, r1, r2, rl)
+    spec = bsdf.is_specular(mp.mtype)
+    cos = jnp.where(spec, 1.0, jnp.abs(wi.z))
+    w = colour * (cos / jnp.maximum(pdf, 1e-9))
+    w = w.where(ok, V3.zeros(N))
+    return float(w.lum().mean())
+
+
+class TestFurnace:
+    def test_diffuse_energy(self):
+        assert furnace_reflectance(MAT_DIFFUSE) == pytest.approx(1.0,
+                                                                 abs=0.01)
+
+    def test_mirror_energy(self):
+        assert furnace_reflectance(MAT_MIRROR) == pytest.approx(1.0,
+                                                                abs=1e-5)
+
+    def test_glass_energy(self):
+        # smooth dielectric with white albedo: reflect+refract = 1
+        assert furnace_reflectance(MAT_GLASS) == pytest.approx(1.0,
+                                                               abs=0.01)
+
+    def test_oren_nayar_sigma0_is_lambert(self):
+        r = furnace_reflectance(MAT_OREN_NAYAR, sigma=0.0)
+        assert r == pytest.approx(1.0, abs=0.01)
+
+    def test_oren_nayar_below_one(self):
+        assert furnace_reflectance(MAT_OREN_NAYAR, sigma=0.8) <= 1.02
+
+    def test_conductor_below_one(self):
+        for alpha in (0.05, 0.3, 0.8):
+            r = furnace_reflectance(MAT_CONDUCTOR, alpha=alpha)
+            assert 0.3 < r <= 1.02, (alpha, r)
+
+    def test_plastic_below_one(self):
+        r = furnace_reflectance(MAT_PLASTIC, alpha=0.3)
+        assert 0.7 < r <= 1.02
+
+    def test_dielectric_energy(self):
+        # rough glass, energy within [0.7, 1.02] (single-scatter GGX
+        # loses some energy at high roughness by construction)
+        for alpha in (0.05, 0.3):
+            r = furnace_reflectance(MAT_DIELECTRIC, alpha=alpha)
+            assert 0.7 < r <= 1.05, (alpha, r)
+
+
+class TestPdfConsistency:
+    """sample() and pdf_fn() must describe the same distribution:
+    E_sample[g(wi)] == E_uniform-sphere[g(wi) pdf_fn(wi) / pdf_u]."""
+
+    @pytest.mark.parametrize("mtype,kw", [
+        (MAT_DIFFUSE, {}),
+        (MAT_OREN_NAYAR, {"sigma": 0.5}),
+        (MAT_CONDUCTOR, {"alpha": 0.4}),
+        (MAT_PLASTIC, {"alpha": 0.4}),
+    ])
+    def test_reflection_lobes(self, mtype, kw):
+        mp = make_params(mtype, **kw)
+        wo = fixed_wo()
+        r1, r2, rl = rand3(7)
+        wi, _, _, ok = bsdf.sample(mp, wo, r1, r2, rl)
+        g_sample = jnp.where(ok, wi.z ** 2, 0.0)  # test statistic
+        est_a = float(g_sample.mean())
+        # uniform-sphere integration of g * pdf
+        u1, u2, _ = rand3(8)
+        wu_up = warps.uniform_hemisphere(u1, u2)
+        for wu in (wu_up, V3(wu_up.x, wu_up.y, -wu_up.z)):
+            pass
+        wu = warps.uniform_sphere(u1, u2)
+        pdf = bsdf.pdf_fn(mp, wo, wu)
+        est_b = float(jnp.mean(wu.z ** 2 * pdf / warps.uniform_sphere_pdf(wu)))
+        assert est_a == pytest.approx(est_b, abs=0.02), (est_a, est_b)
+
+    def test_evaluate_symmetry_diffuse(self):
+        mp = make_params(MAT_DIFFUSE, n=1000)
+        r1, r2, _ = rand3(9, 1000)
+        wi = warps.uniform_hemisphere(r1, r2)
+        wo = fixed_wo(1000)
+        f1 = bsdf.evaluate(mp, wo, wi)
+        f2 = bsdf.evaluate(mp, wi, wo)
+        np.testing.assert_allclose(np.asarray(f1.x), np.asarray(f2.x),
+                                   atol=1e-6)
+
+
+class TestFresnel:
+    def test_dielectric_normal_incidence(self):
+        r, _ = fresnel.fresnel_dielectric(jnp.asarray(1.0), 1.0, 1.5)
+        # ((n-1)/(n+1))^2 = 0.04
+        assert float(r) == pytest.approx(0.04, abs=1e-3)
+
+    def test_dielectric_grazing(self):
+        r, _ = fresnel.fresnel_dielectric(jnp.asarray(0.001), 1.0, 1.5)
+        assert float(r) > 0.98
+
+    def test_tir(self):
+        # from glass to air beyond critical angle (~41.8 deg): TIR
+        r, _ = fresnel.fresnel_dielectric(jnp.asarray(0.5), 1.5, 1.0)
+        assert float(r) == 1.0
+
+    def test_conductor_high_reflectance(self):
+        # gold-ish at normal incidence reflects most energy
+        f = fresnel.fresnel_conductor(jnp.asarray(1.0),
+                                      V3.of(0.18, 0.42, 1.37),
+                                      V3.of(3.42, 2.35, 1.77))
+        assert float(f.lum()) > 0.7
+
+    def test_glass_snell(self):
+        # refracted direction obeys Snell's law
+        mp = make_params(MAT_GLASS, n=1)
+        wo = fixed_wo(1, z=0.8)
+        wi, _, _, _ = bsdf.sample(mp, wo, jnp.zeros(1), jnp.zeros(1),
+                                  jnp.ones(1) * 0.999)  # force refract
+        sin_i = float(jnp.sqrt(1 - wo.z[0] ** 2))
+        sin_t = float(jnp.sqrt(wi.x[0] ** 2 + wi.y[0] ** 2))
+        assert sin_t == pytest.approx(sin_i / 1.5, abs=1e-4)
+        assert float(wi.z[0]) < 0  # transmitted through
