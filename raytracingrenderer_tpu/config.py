@@ -20,6 +20,8 @@ class RenderConfig:
     spp: int = 8192                  # reference default (Main.cpp:26)
     max_depth: int = MAX_DEPTH       # NEE continues one extra bounce
     rr_cap: float = 0.9              # Russian roulette cap (Renderer.h:353)
+    rr: bool = True                  # disable for gradient checks: RR's
+                                     # discrete survival breaks FD oracles
     mis: bool = True                 # balance-heuristic MIS (reference has
                                      # computeDirectMIS but ships computeDirect)
     jitter: bool = False             # sub-pixel jitter (reference renders

@@ -143,15 +143,21 @@ def _traverse(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
     stack = jnp.zeros((n, MAX_STACK), jnp.int32)
     sp = root_hit.astype(jnp.int32)
 
-    init = (stack, sp, Hit(t_init, jnp.full(n, -1, jnp.int32),
-                           jnp.zeros(n), jnp.zeros(n)))
+    # Termination is structurally guaranteed (children indices strictly
+    # increase in the DFS layout), but a hard iteration cap bounds the
+    # kernel's worst case for device watchdogs.
+    max_iters = 4 * bvh.right.shape[0] + 64
+
+    init = (jnp.int32(0), stack, sp,
+            Hit(t_init, jnp.full(n, -1, jnp.int32),
+                jnp.zeros(n), jnp.zeros(n)))
 
     def cond(state):
-        _, sp, _ = state
-        return jnp.any(sp > 0)
+        it, _, sp, _ = state
+        return jnp.any(sp > 0) & (it < max_iters)
 
     def body(state):
-        stack, sp, best = state
+        it, stack, sp, best = state
         active = sp > 0
         top = jnp.maximum(sp - 1, 0)
         node = stack[lane, top]
@@ -198,9 +204,9 @@ def _traverse(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
             jnp.where(first_hit, first, stack[lane, jnp.minimum(
                 sp, MAX_STACK - 1)]))
         sp = sp + first_hit.astype(jnp.int32)
-        return stack, sp, best
+        return it + 1, stack, sp, best
 
-    _, _, best = jax.lax.while_loop(cond, body, init)
+    _, _, _, best = jax.lax.while_loop(cond, body, init)
     return best
 
 

@@ -36,12 +36,13 @@ def add_sample_image(film: Film, img: jax.Array, inc_spp: float = 1.0
 
 
 def splat(film: Film, x: jax.Array, y: jax.Array, rgb: jax.Array,
-          filter_size: int = 0, gaussian_alpha: float = 2.0) -> Film:
+          filter_size: int = 0, filter_name: str = "gaussian") -> Film:
     """Scatter-add point samples at continuous pixel coords (x, y).
 
     filter_size 0 = single-pixel box (the reference's active BoxFilter
-    config, Renderer.h:50); >0 = normalized Gaussian over the
-    (2s+1)^2 footprint (Film::splat, Imaging.h:209-232).
+    config, Renderer.h:50); >0 = normalized kernel ("box", "gaussian",
+    "mitchell" — imaging/filters.py) over the (2s+1)^2 footprint
+    (Film::splat, Imaging.h:209-232).
     """
     h, w = film.buffer.shape[:2]
     px = jnp.floor(x).astype(jnp.int32)
@@ -53,7 +54,9 @@ def splat(film: Film, x: jax.Array, y: jax.Array, rgb: jax.Array,
         rgb = jnp.where(inside[:, None], rgb, 0.0)
         buf = film.buffer.at[py, px].add(rgb)
         return Film(buf, film.spp)
-    # Gaussian footprint: weights exp(-a d^2) - exp(-a s^2), normalized.
+    from . import filters as filt_mod
+    kernel = {"box": filt_mod.box, "gaussian": filt_mod.gaussian,
+              "mitchell": filt_mod.mitchell}[filter_name]
     s = filter_size
     offsets = np.arange(-s, s + 1)
     wsum = jnp.zeros_like(x)
@@ -62,11 +65,8 @@ def splat(film: Film, x: jax.Array, y: jax.Array, rgb: jax.Array,
         for dx in offsets:
             cx = px + dx
             cy = py + dy
-            d2 = ((cx.astype(jnp.float32) + 0.5 - x) ** 2
-                  + (cy.astype(jnp.float32) + 0.5 - y) ** 2)
-            wt = jnp.maximum(
-                jnp.exp(-gaussian_alpha * d2)
-                - np.exp(-gaussian_alpha * s * s), 0.0)
+            wt = kernel(cx.astype(jnp.float32) + 0.5 - x,
+                        cy.astype(jnp.float32) + 0.5 - y, s)
             taps.append((cx, cy, wt))
             wsum = wsum + wt
     wsum = jnp.maximum(wsum, 1e-12)

@@ -113,10 +113,17 @@ def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
 
         # ---- depth cutoff / RR / BSDF continuation --------------------
         cont = shade & (depth <= cfg.max_depth)
-        rr_p = jnp.minimum(beta.lum(), cfg.rr_cap)
-        r_rr = rng.uniform(key, depth, rng.RR, (n,))
-        survive = cont & (r_rr < rr_p)
-        beta = vwhere(survive, beta / jnp.maximum(rr_p, 1e-9), beta)
+        if cfg.rr:
+            # The survival probability is part of the *sampling*
+            # distribution: stop-gradient it (detached estimator), else
+            # the 1/p weight leaks a spurious gradient term.
+            rr_p = jax.lax.stop_gradient(
+                jnp.minimum(beta.lum(), cfg.rr_cap))
+            r_rr = rng.uniform(key, depth, rng.RR, (n,))
+            survive = cont & (r_rr < rr_p)
+            beta = vwhere(survive, beta / jnp.maximum(rr_p, 1e-9), beta)
+        else:
+            survive = cont
 
         r1 = rng.uniform(key, depth, rng.BSDF_U, (n,))
         r2 = rng.uniform(key, depth, rng.BSDF_V, (n,))

@@ -41,24 +41,19 @@ def build_envmap(data: np.ndarray) -> EnvMap:
     # sin(i/H * pi) (Lights.h:171-184) but texel centres are better.
     st = np.sin((np.arange(h) + 0.5) / h * np.pi)
     weights = lum_cell * st[:, None] + 1e-12
-    row_sums = weights.sum(axis=1)
-    total = row_sums.sum()
-    marginal_pdf = row_sums / total                       # (H,)
-    conditional_pdf = weights / row_sums[:, None]         # (H, W)
-    marginal_cdf = np.cumsum(marginal_pdf)
-    marginal_cdf[-1] = 1.0
-    conditional_cdf = np.cumsum(conditional_pdf, axis=1)
-    conditional_cdf[:, -1] = 1.0
+    total = weights.sum()
+    p_texel = weights / total                             # (H, W)
+    flat_cdf = np.cumsum(p_texel.reshape(-1))
+    flat_cdf[-1] = 1.0
     # density over (u,v) in [0,1]^2
-    pdf2d = (marginal_pdf[:, None] * h) * (conditional_pdf * w)
+    pdf2d = p_texel * (h * w)
     # Reference-parity power estimate (Lights.h:171-184): sin-weighted mean
     # of luminance * 4pi (the reference uses sin(i/H*pi)).
     st_ref = np.sin(np.arange(h) / h * np.pi)
     mean_power = float((lum * st_ref[:, None]).mean() * 4.0 * np.pi)
     return EnvMap(
         data=jnp.asarray(data),
-        marginal_cdf=jnp.asarray(marginal_cdf, jnp.float32),
-        conditional_cdf=jnp.asarray(conditional_cdf, jnp.float32),
+        flat_cdf=jnp.asarray(flat_cdf, jnp.float32),
         pdf2d=jnp.asarray(pdf2d, jnp.float32),
         mean_power=jnp.asarray(mean_power, jnp.float32),
     )
@@ -108,27 +103,18 @@ def sample(env: EnvMap, r1: jax.Array, r2: jax.Array
            ) -> Tuple[V3, jax.Array]:
     """Importance-sample a direction; returns (wi, pdf in solid angle).
 
-    Two inverse-CDF lookups (row by r1, column within row by r2) with
-    continuous offset inside the chosen texel for stratification.
+    One inverse-CDF lookup on the flattened texel CDF picks a texel; the
+    CDF remainder stratifies u inside it and r2 supplies v.
     """
     h, w = env.data.shape[0], env.data.shape[1]
-    y = jnp.searchsorted(env.marginal_cdf, r1, side="right")
-    y = jnp.clip(y, 0, h - 1).astype(jnp.int32)
-    cdf_lo = jnp.where(y > 0, env.marginal_cdf[jnp.maximum(y - 1, 0)], 0.0)
-    seg = jnp.maximum(env.marginal_cdf[y] - cdf_lo, 1e-12)
-    dv = jnp.clip((r1 - cdf_lo) / seg, 0.0, 1.0)
-
-    row_cdf = env.conditional_cdf[y]                      # (..., W) gather
-    x = jnp.sum((row_cdf < r2[..., None]).astype(jnp.int32), axis=-1)
-    x = jnp.clip(x, 0, w - 1).astype(jnp.int32)
-    ccdf_lo = jnp.where(
-        x > 0,
-        jnp.take_along_axis(row_cdf, jnp.maximum(x - 1, 0)[..., None],
-                            axis=-1)[..., 0], 0.0)
-    cseg = jnp.maximum(
-        jnp.take_along_axis(row_cdf, x[..., None], axis=-1)[..., 0]
-        - ccdf_lo, 1e-12)
-    du = jnp.clip((r2 - ccdf_lo) / cseg, 0.0, 1.0)
+    idx = jnp.searchsorted(env.flat_cdf, r1, side="right")
+    idx = jnp.clip(idx, 0, h * w - 1).astype(jnp.int32)
+    y = idx // w
+    x = idx % w
+    cdf_lo = jnp.where(idx > 0, env.flat_cdf[jnp.maximum(idx - 1, 0)], 0.0)
+    seg = jnp.maximum(env.flat_cdf[idx] - cdf_lo, 1e-12)
+    du = jnp.clip((r1 - cdf_lo) / seg, 0.0, 1.0)
+    dv = r2
 
     u = (x.astype(jnp.float32) + du) / w
     v = (y.astype(jnp.float32) + dv) / h

@@ -75,6 +75,12 @@ def render(scene: Scene, cfg: Optional[RenderConfig] = None,
     for s in range(start, start + spp):
         key = rng.spp_key(base, s)
         film = _render_pass(scene, film, key, cfg)
+        # Bounded dispatch queue: deep async pipelines destabilize
+        # tunneled single-chip backends; syncing every few samples costs
+        # ~0.1 ms against ~ms-scale sample times.
+        if (s - start) % 4 == 3:
+            film.buffer.block_until_ready()
         if on_sample is not None:
             on_sample(s, film)
+    film.buffer.block_until_ready()
     return film

@@ -113,14 +113,16 @@ class LightTable(NamedTuple):
 
 
 class EnvMap(NamedTuple):
-    """Lat-long environment map with luminance-CDF importance tables.
+    """Lat-long environment map with a luminance-CDF importance table.
 
     The reference's EnvironmentMap leaves importance sampling as a TODO
-    (Lights.h:158-161); here the marginal/conditional CDFs are first-class.
+    (Lights.h:158-161).  The CDF is *flattened* over all texels so a
+    sample is a single searchsorted on a (H*W,) array — a per-row
+    conditional-CDF gather would materialize (rays, W) floats and OOM
+    the chip at production ray counts.
     """
     data: jax.Array       # (H, W, 3) radiance
-    marginal_cdf: jax.Array    # (H,) inclusive CDF over rows (sin-weighted)
-    conditional_cdf: jax.Array # (H, W) inclusive CDF within each row
+    flat_cdf: jax.Array   # (H*W,) inclusive CDF over texels (sin-weighted)
     pdf2d: jax.Array      # (H, W) probability density over (u,v) in [0,1]^2
     mean_power: jax.Array # scalar: sin-weighted mean luminance * 4pi
 

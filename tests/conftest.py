@@ -6,13 +6,24 @@ multi-host test strategy SURVEY.md §4 calls for.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may pin an experimental TPU backend
+# (axon); tests always run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# jax is preloaded at interpreter startup in this environment, so env
+# vars alone are too late — but backends initialize lazily, so the
+# config knob still forces CPU as long as no computation ran yet.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got "
+    + jax.default_backend())
+assert len(jax.devices()) >= 8, "xla_force_host_platform_device_count lost"
 
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: repeated test runs skip recompiles.

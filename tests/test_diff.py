@@ -25,7 +25,9 @@ def scene():
                                      c.a_film))
 
 
-CFG = RenderConfig(max_depth=2, mis=False, jitter=False)
+# rr=False: Russian roulette's discrete survival decisions make the
+# common-random-numbers FD oracle invalid (indicator flips + 1/p).
+CFG = RenderConfig(max_depth=2, mis=False, jitter=False, rr=False)
 
 
 def loss_with_emission_scale(scene, s, key):
