@@ -120,8 +120,18 @@ def main(argv=None) -> int:
 
     img = np.asarray(film_mod.to_hdr(film))
     if args.denoise:
+        # OIDN-style auxiliary-guided filtering: albedo + normal AOVs
+        # (reference passes beauty only, Renderer.h:752-793; guides are
+        # strictly better and cheap — 1 spp each)
+        import jax as _jax
+
         from .imaging.denoise import denoise as dn
-        img = np.asarray(dn(img))
+        from .integrators import aov
+        aov_cfg = RenderConfig(jitter=False, seed=cfg.seed)
+        guide_key = _jax.random.PRNGKey(cfg.seed)
+        alb = aov.albedo_image(scene, guide_key, aov_cfg)
+        nrm = aov.normals_image(scene, guide_key, aov_cfg)
+        img = np.asarray(dn(img, albedo=alb, normal=nrm))
     write_hdr(args.outputFilename, img)
     log.info("wrote %s (%d spp, mean %.4f)", args.outputFilename,
              int(film.spp), float(img.mean()))

@@ -124,13 +124,31 @@ def build(tp: np.ndarray, max_leaf: int = MAX_LEAF
     else:
         emit(np.zeros(3), np.zeros(3), -1, 0, 0)
 
+    right_np = np.asarray(right_list, np.int32)
     return BVH(
         lo=jnp.asarray(np.asarray(lo_list), jnp.float32),
         hi=jnp.asarray(np.asarray(hi_list), jnp.float32),
-        right=jnp.asarray(right_list, jnp.int32),
+        right=jnp.asarray(right_np),
         start=jnp.asarray(start_list, jnp.int32),
         count=jnp.asarray(count_list, jnp.int32),
+        skip=jnp.asarray(compute_skip(right_np)),
     ), order
+
+
+def compute_skip(right: np.ndarray) -> np.ndarray:
+    """DFS-successor ("skip") links from the right-child array.
+
+    skip[root] = B; for an inner node i: skip[i+1] (left child) = right[i]
+    and skip[right[i]] = skip[i].  Enables stackless threaded traversal.
+    """
+    b = len(right)
+    skip = np.full(b, b, np.int32)
+    for i in range(b):
+        r = right[i]
+        if r != -1:
+            skip[i + 1] = r
+            skip[r] = skip[i]
+    return skip
 
 
 def validate(bvh: BVH, tp_reordered: np.ndarray) -> None:

@@ -78,9 +78,11 @@ def build(tp: np.ndarray, max_leaf: int = 4) -> Tuple[BVH, np.ndarray]:
     if n_nodes <= 0:
         from . import bvh as py_bvh
         return py_bvh.build(tp, max_leaf)
+    from .bvh import compute_skip
     return BVH(
         lo=jnp.asarray(lo[:n_nodes]), hi=jnp.asarray(hi[:n_nodes]),
         right=jnp.asarray(right[:n_nodes]),
         start=jnp.asarray(start[:n_nodes]),
         count=jnp.asarray(count[:n_nodes]),
+        skip=jnp.asarray(compute_skip(right[:n_nodes])),
     ), order.astype(np.int64)

@@ -210,16 +210,84 @@ def _traverse(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
     return best
 
 
+def _traverse_stackless(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
+                        any_hit: bool, max_leaf: int):
+    """Stackless threaded traversal over DFS skip links.
+
+    Per-ray state is just the current node index — no stack arrays, no
+    scatters (the stack variant's per-lane scatter is both slow and has
+    proven destabilizing on the TPU runtime).  Trade-off: fixed DFS
+    child order instead of near-first, so rays cannot prune by visiting
+    the closer subtree first; the t_best test still prunes boxes.
+    """
+    n = o.x.shape[0]
+    b = bvh.right.shape[0]
+    inv_d = V3(1.0 / jnp.where(jnp.abs(d.x) < 1e-20, 1e-20, d.x),
+               1.0 / jnp.where(jnp.abs(d.y) < 1e-20, 1e-20, d.y),
+               1.0 / jnp.where(jnp.abs(d.z) < 1e-20, 1e-20, d.z))
+
+    max_iters = 2 * b + 2
+    init = (jnp.int32(0), jnp.zeros(n, jnp.int32),
+            Hit(t_init, jnp.full(n, -1, jnp.int32),
+                jnp.zeros(n), jnp.zeros(n)))
+
+    def cond(state):
+        it, node, best = state
+        return jnp.any(node < b) & (it < max_iters)
+
+    def body(state):
+        it, node, best = state
+        active = node < b
+        nd = jnp.minimum(node, b - 1)
+        _, box_hit = _slab(bvh.lo[nd], bvh.hi[nd], o, inv_d, best.t)
+        box_hit = box_hit & active
+        is_leaf = bvh.right[nd] == -1
+
+        # leaf: test triangles
+        start = bvh.start[nd]
+        count = bvh.count[nd]
+        leaf_active = box_hit & is_leaf
+        t_b, tri_b, u_b, v_b = best
+        for k in range(max_leaf):
+            tri_idx = jnp.minimum(start + k, tris.count - 1)
+            t, u, v, hit = _mt_test(tris, tri_idx, o, d)
+            hit = hit & leaf_active & (k < count) & (t < t_b)
+            t_b = jnp.where(hit, t, t_b)
+            tri_b = jnp.where(hit, tri_idx, tri_b).astype(jnp.int32)
+            u_b = jnp.where(hit, u, u_b)
+            v_b = jnp.where(hit, v, v_b)
+        best = Hit(t_b, tri_b, u_b, v_b)
+
+        # next node: descend on inner-box hit, else skip over subtree
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, nd + 1, bvh.skip[nd])
+        if any_hit:
+            nxt = jnp.where(best.tri >= 0, b, nxt)  # early out
+        node = jnp.where(active, nxt, node)
+        return it + 1, node, best
+
+    _, _, best = jax.lax.while_loop(cond, body, init)
+    return best
+
+
 def closest_hit_bvh(bvh: BVH, tris: Triangles, o: V3, d: V3,
                     max_leaf: int = 4) -> Hit:
     n = o.x.shape[0]
-    return _traverse(bvh, tris, o, d, jnp.full(n, BIG_T), False, max_leaf)
+    return _traverse_stackless(bvh, tris, o, d, jnp.full(n, BIG_T), False,
+                               max_leaf)
 
 
 def any_hit_bvh(bvh: BVH, tris: Triangles, o: V3, d: V3,
                 max_t: jax.Array, max_leaf: int = 4) -> jax.Array:
-    best = _traverse(bvh, tris, o, d, max_t, True, max_leaf)
+    best = _traverse_stackless(bvh, tris, o, d, max_t, True, max_leaf)
     return best.tri >= 0
+
+
+def closest_hit_bvh_stack(bvh: BVH, tris: Triangles, o: V3, d: V3,
+                          max_leaf: int = 4) -> Hit:
+    """Stack-based ordered traversal (kept for comparison/benchmarks)."""
+    n = o.x.shape[0]
+    return _traverse(bvh, tris, o, d, jnp.full(n, BIG_T), False, max_leaf)
 
 
 def closest_hit(scene, o: V3, d: V3) -> Hit:

@@ -202,14 +202,17 @@ class BVH(NamedTuple):
 
     node i: bounds (lo,hi); if leaf, [start, start+count) indexes the
     (reordered) triangle arrays; else `right` is the index of the right
-    child (left child is i+1, the next node in DFS order), enabling
-    stackless-ish short traversal with a small explicit stack.
+    child (left child is i+1, the next node in DFS order).  `skip` is
+    the DFS successor of node i's subtree (B for "done"), enabling
+    stackless threaded traversal: descend to i+1 on box hit, jump to
+    skip[i] on miss — no per-ray stack, no scatters, pure gathers.
     """
     lo: jax.Array     # (B, 3)
     hi: jax.Array     # (B, 3)
     right: jax.Array  # (B,) int32: right-child index, or -1 for leaf
     start: jax.Array  # (B,) int32: first triangle (leaf) / unused
     count: jax.Array  # (B,) int32: triangle count (0 for inner)
+    skip: jax.Array   # (B,) int32: DFS successor after this subtree
 
 
 class Scene(NamedTuple):

@@ -1,0 +1,121 @@
+"""End-to-end integrator tests on a tiny cornell render (CPU).
+
+Cross-integrator consistency is the key check: the light tracer and VPL
+render the same scene as the path tracer, so their images must agree in
+overall brightness and structure (they share no estimator code paths).
+"""
+import jax
+import numpy as np
+import pytest
+
+from conftest import ref_path
+from raytracingrenderer_tpu.config import RenderConfig
+from raytracingrenderer_tpu.imaging import film as film_mod
+from raytracingrenderer_tpu.integrators.dispatch import render_with
+from raytracingrenderer_tpu.render import render
+from raytracingrenderer_tpu.scene.loader import load_scene
+from raytracingrenderer_tpu.scene.types import Camera
+
+RES = 32
+
+
+@pytest.fixture(scope="module")
+def scene():
+    sc = load_scene(ref_path("cornell-box"))
+    c = sc.camera
+    return sc._replace(camera=Camera(c.p, c.p_inv, c.cam_to_world,
+                                     c.world_to_cam, RES, RES, c.origin,
+                                     c.a_film))
+
+
+@pytest.fixture(scope="module")
+def path_img(scene):
+    cfg = RenderConfig(mis=True, jitter=True, max_depth=3)
+    f = render(scene, cfg, spp=32)
+    return np.asarray(film_mod.to_hdr(f))
+
+
+class TestIntegrators:
+    def test_path_nonzero(self, path_img):
+        assert path_img.mean() > 0.01
+        assert np.isfinite(path_img).all()
+
+    def test_direct_below_path(self, scene, path_img):
+        cfg = RenderConfig(integrator="direct", jitter=True, mis=False)
+        f = render_with(scene, cfg, spp=16)
+        img = np.asarray(film_mod.to_hdr(f))
+        assert 0 < img.mean() < path_img.mean() * 1.05
+
+    def test_albedo_and_normals(self, scene):
+        for which, lo, hi in (("albedo", 0.05, 1.0), ("normals", 0.1, 1.0)):
+            cfg = RenderConfig(integrator=which, jitter=False)
+            f = render_with(scene, cfg, spp=1)
+            img = np.asarray(film_mod.to_hdr(f))
+            assert lo < img.mean() < hi, (which, img.mean())
+            assert np.isfinite(img).all()
+
+    @pytest.mark.slow
+    def test_lighttracer_agrees_with_path(self, scene, path_img):
+        cfg = RenderConfig(integrator="lighttrace", max_depth=3)
+        f = render_with(scene, cfg, spp=48)
+        img = np.asarray(film_mod.to_hdr(f))
+        assert np.isfinite(img).all()
+        # exclude the emitter area (path tracer sees it directly, the
+        # light tracer doesn't splat the camera-visible emitter)
+        mask = path_img.mean(-1) < 1.0
+        ratio = img.mean(-1)[mask].mean() / path_img.mean(-1)[mask].mean()
+        assert 0.7 < ratio < 1.4, ratio
+        corr = np.corrcoef(img.mean(-1)[mask], path_img.mean(-1)[mask])[0, 1]
+        assert corr > 0.7, corr
+
+    def test_vpl_runs_and_correlates(self, scene, path_img):
+        cfg = RenderConfig(integrator="vpl", max_depth=3)
+        f = render_with(scene, cfg, spp=8)
+        img = np.asarray(film_mod.to_hdr(f))
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01
+        mask = path_img.mean(-1) < 1.0
+        corr = np.corrcoef(img.mean(-1)[mask], path_img.mean(-1)[mask])[0, 1]
+        assert corr > 0.6, corr
+
+    def test_adaptive_matches_uniform(self, scene, path_img):
+        cfg = RenderConfig(integrator="adaptive", jitter=True, max_depth=3)
+        f = render_with(scene, cfg, spp=8)
+        img = np.asarray(film_mod.to_hdr(f))
+        assert np.isfinite(img).all()
+        mask = path_img.mean(-1) < 1.0
+        ratio = img.mean(-1)[mask].mean() / path_img.mean(-1)[mask].mean()
+        assert 0.8 < ratio < 1.2, ratio
+
+    def test_checkpoint_resume_continues(self, scene, tmp_path):
+        from raytracingrenderer_tpu.utils.checkpoint import (load_film,
+                                                             save_film)
+        cfg = RenderConfig(mis=True, jitter=True, max_depth=2)
+        f1 = render(scene, cfg, spp=4)
+        p = str(tmp_path / "ckpt.npz")
+        save_film(p, f1)
+        f2 = render(scene, cfg, spp=4, film=load_film(p))
+        assert float(f2.spp) == 8.0
+        # resumed result identical to uninterrupted 8spp (same keys)
+        f_full = render(scene, cfg, spp=8)
+        np.testing.assert_allclose(np.asarray(f2.buffer),
+                                   np.asarray(f_full.buffer), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_denoise_reduces_noise(self, scene):
+        from raytracingrenderer_tpu.imaging.denoise import denoise
+        from raytracingrenderer_tpu.integrators import aov
+        cfg = RenderConfig(mis=True, jitter=True, max_depth=3)
+        noisy = np.asarray(film_mod.to_hdr(render(scene, cfg, spp=2)))
+        clean = np.asarray(film_mod.to_hdr(render(
+            scene, RenderConfig(mis=True, jitter=True, max_depth=3,
+                                seed=7), spp=48)))
+        aov_cfg = RenderConfig(jitter=False)
+        alb = aov.albedo_image(scene, jax.random.PRNGKey(0), aov_cfg)
+        nrm = aov.normals_image(scene, jax.random.PRNGKey(0), aov_cfg)
+        dn = np.asarray(denoise(noisy, albedo=alb, normal=nrm,
+                                sigma_col=0.2))
+        mask = clean.mean(-1) < 1.0
+        err_before = np.abs(noisy - clean).mean(-1)[mask].mean()
+        err_after = np.abs(dn - clean).mean(-1)[mask].mean()
+        assert err_after < err_before
