@@ -63,8 +63,10 @@ def _mt_test(tris: Triangles, idx, o: V3, d: V3):
 
 
 def miss_all(n_ray: int) -> Hit:
-    return Hit(jnp.full(n_ray, BIG_T), jnp.full(n_ray, -1, jnp.int32),
-               jnp.zeros(n_ray), jnp.zeros(n_ray))
+    return Hit(jnp.full(n_ray, BIG_T, jnp.float32),
+               jnp.full(n_ray, -1, jnp.int32),
+               jnp.zeros(n_ray, jnp.float32),
+               jnp.zeros(n_ray, jnp.float32))
 
 
 def closest_hit_brute(tris: Triangles, o: V3, d: V3,
@@ -74,7 +76,11 @@ def closest_hit_brute(tris: Triangles, o: V3, d: V3,
     if n_tri == 0:
         return miss_all(n_ray)
     chunk = min(chunk, n_tri)
-    best = miss_all(n_ray)
+    # Derive the carry from the ray arrays (not fresh constants) so its
+    # device-varying axes match under shard_map.
+    best = Hit(jnp.full_like(o.x, BIG_T),
+               jnp.full_like(o.x, -1.0).astype(jnp.int32),
+               jnp.zeros_like(o.x), jnp.zeros_like(o.x))
     n_chunks = max(1, -(-n_tri // chunk))
     pad = n_chunks * chunk
 

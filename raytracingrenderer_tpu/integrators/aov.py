@@ -40,7 +40,7 @@ def direct_image(scene: Scene, key, cfg: RenderConfig) -> jax.Array:
     n = o.x.shape[0]
     found = hit.valid
     is_light = found & sh.mp.is_emissive
-    out = vwhere(is_light & (d.dot(sh.gn) < 0.0), sh.mp.emission,
+    out = vwhere(is_light & (d.dot(sh.gn_raw) < 0.0), sh.mp.emission,
                  V3.zeros(n))
     r_pick = rng.uniform(key, 0, rng.LIGHT_PICK, (n,))
     r1 = rng.uniform(key, 0, rng.LIGHT_POS_U, (n,))

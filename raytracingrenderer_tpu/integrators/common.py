@@ -25,6 +25,9 @@ class Shading(NamedTuple):
     sn: V3             # shading normal (two-sided-flipped where the
                        # material is two-sided)
     gn: V3             # geometric normal (same flip rule)
+    gn_raw: V3         # canonical geometric normal (no flip) — emission
+                       # sidedness keys off this (AreaLight::evaluate is
+                       # one-sided, Lights.h:40-47)
     frame: Frame
     wo_local: V3
     uv_u: jax.Array
@@ -57,9 +60,10 @@ def shading_data(scene: Scene, hit: Hit, o: V3, d: V3) -> Shading:
     flip_s = two & (wo.dot(n) < 0.0)
     flip_g = two & (wo.dot(gn) < 0.0)
     sn = vwhere(flip_s, -n, n)
+    gn_raw = gn
     gn = vwhere(flip_g, -gn, gn)
     frame = Frame.from_normal(sn)
-    return Shading(x=x, sn=sn, gn=gn, frame=frame,
+    return Shading(x=x, sn=sn, gn=gn, gn_raw=gn_raw, frame=frame,
                    wo_local=frame.to_local(wo),
                    uv_u=uv[:, 0], uv_v=uv[:, 1], mp=mp,
                    light_id=tris.light_id[tri])

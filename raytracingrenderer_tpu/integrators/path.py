@@ -84,12 +84,14 @@ def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
         sh = shading_data(scene, hit, o, d)
 
         # ---- emissive hit: add Le, terminate --------------------------
+        # One-sided via the canonical gn (AreaLight::evaluate); the
+        # flipped gn is vacuously front-facing and would emit the back.
         hit_le = sh.mp.emission
-        one_sided = d.dot(sh.gn) < 0.0  # AreaLight::evaluate sidedness
+        one_sided = d.dot(sh.gn_raw) < 0.0
         is_light = found & sh.mp.is_emissive
         if cfg.mis:
             pdf_l = lights_mod.hit_light_pdf_solid(
-                scene, sh.light_id, o, sh.x, sh.gn)
+                scene, sh.light_id, o, sh.x, sh.gn_raw)
             w_le = jnp.where(state["can_hit_light"], 1.0,
                              balance_heuristic(state["prev_pdf"], pdf_l))
         else:

@@ -166,7 +166,7 @@ def vpl_pass(scene: Scene, film: film_mod.Film, key,
                           jnp.arange(n_slots, dtype=jnp.int32))
     # direct emission for camera rays that hit lights
     acc = acc + vwhere(hit.valid & sh.mp.is_emissive
-                       & (d.dot(sh.gn) < 0.0), sh.mp.emission,
+                       & (d.dot(sh.gn_raw) < 0.0), sh.mp.emission,
                        V3.zeros(npix))
     img = acc.stacked().reshape(cam.height, cam.width, 3)
     return film_mod.add_sample_image(film, img)

@@ -74,3 +74,31 @@ class TestDryrun:
         out = jax.jit(fn)(*args)
         assert out.shape == (128, 128, 3)
         assert bool(jnp.isfinite(out).all())
+
+
+class TestSceneSharding:
+    """Primitive-sharded intersection must match the replicated oracle."""
+
+    def test_sharded_matches_replicated(self, scene):
+        from raytracingrenderer_tpu.geometry.intersect import (
+            closest_hit_brute)
+        from raytracingrenderer_tpu.parallel.scene_shard import (
+            closest_hit_sharded, pad_triangles, shard_triangles)
+        mesh = make_mesh(8)
+        tris = pad_triangles(scene.triangles, 8)
+        tris_sh = shard_triangles(mesh, tris)
+        import numpy as np_
+        rng = np_.random.default_rng(0)
+        n = 512
+        from raytracingrenderer_tpu.core.vec import V3
+        o = V3.from_stacked(jnp.asarray(
+            (rng.uniform(-1, 1, (n, 3)) * 0.5 + [0, 1, 2])
+            .astype(np_.float32)))
+        d = V3.from_stacked(jnp.asarray(
+            rng.standard_normal((n, 3)).astype(np_.float32))).normalize()
+        hs = closest_hit_sharded(tris_sh, o, d, mesh)
+        hb = closest_hit_brute(scene.triangles, o, d)
+        np.testing.assert_allclose(np.asarray(hs.t), np.asarray(hb.t),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(hs.tri),
+                                      np.asarray(hb.tri))
