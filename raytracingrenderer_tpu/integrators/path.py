@@ -69,16 +69,24 @@ def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
 
         # ---- escaped rays: background ---------------------------------
         bg = lights_mod.eval_background(scene, d)
-        if cfg.mis and lights_mod.background_enabled(scene):
-            # MIS counterweight for the env light reached by BSDF sampling.
-            n_l = lights_mod.num_lights(scene)
-            pdf_l = lights_mod.background_pdf(scene, d) / max(n_l, 1)
-            w_bg = jnp.where(state["can_hit_light"], 1.0,
-                             balance_heuristic(state["prev_pdf"], pdf_l))
-        elif cfg.mis:
-            w_bg = jnp.ones(n)
+        if lights_mod.background_enabled(scene):
+            if cfg.mis:
+                # MIS counterweight for the env light reached by BSDF
+                # sampling.
+                n_l = lights_mod.num_lights(scene)
+                pdf_l = lights_mod.background_pdf(scene, d) / max(n_l, 1)
+                w_bg = jnp.where(
+                    state["can_hit_light"], 1.0,
+                    balance_heuristic(state["prev_pdf"], pdf_l))
+            else:
+                # canHitLight gating, as for area lights: NEE already
+                # accounted for the env at the previous vertex.  (The
+                # reference adds the background unconditionally AND
+                # un-weighted by throughput, Renderer.h:390 — a double
+                # count; not reproduced.)
+                w_bg = state["can_hit_light"].astype(jnp.float32)
         else:
-            w_bg = jnp.ones(n)  # reference adds background unconditionally
+            w_bg = jnp.ones(n)  # pure miss colour, not a sampled light
         radiance = radiance + vwhere(missed, beta * bg * w_bg, zero)
 
         sh = shading_data(scene, hit, o, d)

@@ -119,3 +119,22 @@ class TestIntegrators:
         err_before = np.abs(noisy - clean).mean(-1)[mask].mean()
         err_after = np.abs(dn - clean).mean(-1)[mask].mean()
         assert err_after < err_before
+
+
+@pytest.mark.slow
+class TestEnvmapSceneConsistency:
+    """materialball (env-lit): NEE-only and MIS estimators must agree —
+    exercises env CDF importance sampling + MIS weights end-to-end."""
+
+    def test_nee_vs_mis_mean(self):
+        sc = load_scene(ref_path("materialball"))
+        c = sc.camera
+        sc = sc._replace(camera=Camera(c.p, c.p_inv, c.cam_to_world,
+                                       c.world_to_cam, 48, 27, c.origin,
+                                       c.a_film))
+        means = {}
+        for tag, mis in (("nee", False), ("mis", True)):
+            cfg = RenderConfig(mis=mis, jitter=True, max_depth=3, seed=1)
+            f = render(sc, cfg, spp=24)
+            means[tag] = float(np.asarray(film_mod.to_hdr(f)).mean())
+        assert means["mis"] == pytest.approx(means["nee"], rel=0.08), means
