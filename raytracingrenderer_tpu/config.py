@@ -4,6 +4,7 @@ Main.cpp:29-66)."""
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional, Tuple
 
 # Reference constants (Renderer.h:18-24, Geometry.h:60)
 TILE_SIZE = 32
@@ -35,3 +36,7 @@ class RenderConfig:
     # the two halves must sum to the NEE-mode estimate in expectation).
     debug_no_nee: bool = False
     debug_no_emission: bool = False
+    # Static set of MAT_* types present in the scene; None = assume all.
+    # render() fills it in from the material table so jit only compiles
+    # the BSDF lobes the scene uses (see materials/bsdf.py:_has).
+    mat_types: Optional[Tuple[int, ...]] = None

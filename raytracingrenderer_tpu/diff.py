@@ -14,6 +14,7 @@ MSE against a target, SGD on material albedo + emission.  It is what
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -48,9 +49,10 @@ def render_loss(params, scene: Scene, target: jax.Array, key,
     return jnp.mean((img - target) ** 2)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def train_step(scene: Scene, target: jax.Array, key, cfg: RenderConfig,
                lr: float = 0.1) -> Tuple[Scene, jax.Array]:
-    """One SGD step on (albedo, emission, light Le).  jit-able."""
+    """One SGD step on (albedo, emission, light Le)."""
     params, _ = _split_scene(scene)
     loss, grads = jax.value_and_grad(render_loss)(params, scene, target,
                                                   key, cfg)
@@ -59,6 +61,7 @@ def train_step(scene: Scene, target: jax.Array, key, cfg: RenderConfig,
     return _merge_scene(new_params, scene), loss
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def param_grads(scene: Scene, target: jax.Array, key, cfg: RenderConfig):
     """Gradients only (for gradient-check tests vs finite differences)."""
     params, _ = _split_scene(scene)

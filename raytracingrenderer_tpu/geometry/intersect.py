@@ -304,14 +304,17 @@ def closest_hit(scene, o: V3, d: V3) -> Hit:
     strategy (SURVEY.md §7), and the BVH while_loop is not reverse-mode
     differentiable anyway.
     """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    tris = jax.lax.stop_gradient(scene.triangles)
     if scene.bvh is not None and scene.triangles.count > 64:
-        h = closest_hit_bvh(scene.bvh, scene.triangles,
-                            jax.lax.stop_gradient(o),
-                            jax.lax.stop_gradient(d))
+        h = closest_hit_bvh(scene.bvh, tris, o, d)
     else:
-        h = closest_hit_brute(jax.lax.stop_gradient(scene.triangles),
-                              jax.lax.stop_gradient(o),
-                              jax.lax.stop_gradient(d))
+        from ..ops import mt_kernel
+        if mt_kernel.use_pallas():
+            h = mt_kernel.closest_hit_pallas(tris, o, d)
+        else:
+            h = closest_hit_brute(tris, o, d)
     return jax.tree_util.tree_map(jax.lax.stop_gradient, h)
 
 
@@ -323,5 +326,8 @@ def occluded(scene, o: V3, d: V3, max_t: jax.Array) -> jax.Array:
     max_t = jax.lax.stop_gradient(max_t)
     if scene.bvh is not None and scene.triangles.count > 64:
         return any_hit_bvh(scene.bvh, scene.triangles, o, d, max_t)
-    return any_hit_brute(jax.lax.stop_gradient(scene.triangles), o, d,
-                         max_t)
+    tris = jax.lax.stop_gradient(scene.triangles)
+    from ..ops import mt_kernel
+    if mt_kernel.use_pallas():
+        return mt_kernel.any_hit_pallas(tris, o, d, max_t)
+    return any_hit_brute(tris, o, d, max_t)

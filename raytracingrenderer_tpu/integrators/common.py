@@ -36,26 +36,74 @@ class Shading(NamedTuple):
     light_id: jax.Array  # light-table row if the hit triangle is emissive
 
 
+def _packed_attrs(scene: Scene) -> jax.Array:
+    """(T, 38) per-triangle attribute matrix: shading normals, geometric
+    normal, uvs, light id, and the triangle's material row pre-joined.
+
+    One packed row fetch per hit replaces ~25 separate small gathers —
+    see ops/gather.py for why that matters on TPU.  Built from the SoA
+    each trace; it is loop-invariant so XLA hoists it out of the bounce
+    scan, and at (T, 38) f32 it is small besides.
+    """
+    tris, m = scene.triangles, scene.materials
+    f32 = lambda a: a.astype(jnp.float32)
+    mat_rows = jnp.stack([
+        f32(m.mtype), m.albedo.x, m.albedo.y, m.albedo.z,
+        f32(m.albedo_tex), m.emission.x, m.emission.y, m.emission.z,
+        f32(m.is_emissive), m.eta.x, m.eta.y, m.eta.z,
+        m.k.x, m.k.y, m.k.z, m.int_ior, m.ext_ior, m.alpha, m.sigma,
+    ], axis=-1)                       # (M, 19)
+    per_tri_mat = mat_rows[tris.mat_id]   # (T, 19)
+    tri_rows = jnp.stack([
+        tris.n0.x, tris.n0.y, tris.n0.z,
+        tris.n1.x, tris.n1.y, tris.n1.z,
+        tris.n2.x, tris.n2.y, tris.n2.z,
+        tris.gn.x, tris.gn.y, tris.gn.z,
+        tris.uv0[:, 0], tris.uv0[:, 1],
+        tris.uv1[:, 0], tris.uv1[:, 1],
+        tris.uv2[:, 0], tris.uv2[:, 1],
+        f32(tris.light_id),
+    ], axis=-1)                       # (T, 19)
+    return jnp.concatenate([tri_rows, per_tri_mat], axis=-1)
+
+
 def shading_data(scene: Scene, hit: Hit, o: V3, d: V3) -> Shading:
     """Interpolate attributes at the hit (reference Scene.h:174-203:
     barycentric normal/uv, two-sided flip toward wo, frame build)."""
-    tris = scene.triangles
+    from ..ops.gather import gather_rows
     tri = jnp.maximum(hit.tri, 0)
     beta = hit.u
     gamma = hit.v
     alpha = 1.0 - beta - gamma
-    n = (tris.n0.gather(tri) * alpha + tris.n1.gather(tri) * beta
-         + tris.n2.gather(tri) * gamma).normalize()
-    uv = (tris.uv0[tri] * alpha[:, None] + tris.uv1[tri] * beta[:, None]
-          + tris.uv2[tri] * gamma[:, None])
+    rows = gather_rows(_packed_attrs(scene), tri)   # (N, 38)
+    col = lambda i: rows[:, i]
+    v3 = lambda i: V3(rows[:, i], rows[:, i + 1], rows[:, i + 2])
+    n = (v3(0) * alpha + v3(3) * beta + v3(6) * gamma).normalize()
+    u_attr = col(12) * alpha + col(14) * beta + col(16) * gamma
+    v_attr = col(13) * alpha + col(15) * beta + col(17) * gamma
+    uv = jnp.stack([u_attr, v_attr], axis=-1)
     # tris.gn is canonicalized at load time to agree with vertex normal 0
     # (reference Triangle::gNormal semantics).
-    gn = tris.gn.gather(tri)
+    gn = v3(9)
+    light_id = col(18).astype(jnp.int32)
     x = o + d * hit.t
     wo = -d
-    mid = tris.mat_id[tri]
-    mp = bsdf_mod.gather_params(scene.materials, scene.textures, mid,
-                                uv[:, 0], uv[:, 1])
+    b = 19  # material columns base
+    tid = col(b + 4).astype(jnp.int32)
+    from ..imaging import texture as tex_mod
+    tex_col = tex_mod.sample(scene.textures, tid, uv[:, 0], uv[:, 1])
+    albedo = vwhere(tid >= 0, tex_col, v3(b + 1))
+    mp = bsdf_mod.MatParams(
+        mtype=col(b).astype(jnp.int32),
+        albedo=albedo,
+        eta=v3(b + 9),
+        k=v3(b + 12),
+        int_ior=col(b + 15),
+        ext_ior=col(b + 16),
+        alpha=jnp.maximum(col(b + 17), bsdf_mod.MIN_ALPHA),
+        sigma=col(b + 18),
+        emission=v3(b + 5),
+        is_emissive=col(b + 8) > 0.5)
     two = bsdf_mod.is_two_sided(mp.mtype)
     flip_s = two & (wo.dot(n) < 0.0)
     flip_g = two & (wo.dot(gn) < 0.0)
@@ -66,7 +114,7 @@ def shading_data(scene: Scene, hit: Hit, o: V3, d: V3) -> Shading:
     return Shading(x=x, sn=sn, gn=gn, gn_raw=gn_raw, frame=frame,
                    wo_local=frame.to_local(wo),
                    uv_u=uv[:, 0], uv_v=uv[:, 1], mp=mp,
-                   light_id=tris.light_id[tri])
+                   light_id=light_id)
 
 
 def balance_heuristic(pdf_a, pdf_b):
@@ -75,7 +123,7 @@ def balance_heuristic(pdf_a, pdf_b):
 
 
 def compute_direct(scene: Scene, sh: Shading, active, r_pick, r1, r2,
-                   mis: bool) -> V3:
+                   mis: bool, types=None) -> V3:
     """One-light one-sample NEE; with `mis` the light-strategy term is
     balance-weighted against the BSDF pdf (computeDirectMIS light half,
     Renderer.h:474-512).  The BSDF-strategy half lives in the bounce loop
@@ -84,10 +132,10 @@ def compute_direct(scene: Scene, sh: Shading, active, r_pick, r1, r2,
     specular = bsdf_mod.is_specular(sh.mp.mtype)
     cand = active & ls.valid & ~specular
     wi_local = sh.frame.to_local(ls.wi)
-    f = bsdf_mod.evaluate(sh.mp, sh.wo_local, wi_local)
+    f = bsdf_mod.evaluate(sh.mp, sh.wo_local, wi_local, types)
     contrib = f * ls.emitted * ls.g_over_pdf
     if mis:
-        pdf_b = bsdf_mod.pdf_fn(sh.mp, sh.wo_local, wi_local)
+        pdf_b = bsdf_mod.pdf_fn(sh.mp, sh.wo_local, wi_local, types)
         contrib = contrib * balance_heuristic(ls.pdf_solid, pdf_b)
     worth = cand & (contrib.max_comp() > 0.0)
     # shadow ray (reference Scene::visible: epsilon pullback both ends)

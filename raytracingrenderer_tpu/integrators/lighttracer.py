@@ -109,7 +109,8 @@ def light_trace_pass(scene: Scene, film: film_mod.Film, key,
                     scene.camera.origin.y - sh.x.y,
                     scene.camera.origin.z - sh.x.z).normalize()
         f = bsdf_mod.evaluate(sh.mp, sh.wo_local,
-                              sh.frame.to_local(to_cam))
+                              sh.frame.to_local(to_cam),
+                              cfg.mat_types)
         col = beta * f * le_over
         buf = _connect(scene, buf, sh.x, sh.sn, col, connectable)
 
@@ -122,7 +123,7 @@ def light_trace_pass(scene: Scene, film: film_mod.Film, key,
         b2 = rng.uniform(key, depth + 1, rng.BSDF_V, (n,))
         bl = rng.uniform(key, depth + 1, rng.BSDF_LOBE, (n,))
         wi2, colour, pdf, ok = bsdf_mod.sample(sh.mp, sh.wo_local, b1, b2,
-                                               bl)
+                                               bl, cfg.mat_types)
         weight = colour * (jnp.abs(wi2.z) / jnp.maximum(pdf, 1e-9))
         alive_next = survive & ok & (weight.max_comp() > 0.0)
         beta = vwhere(alive_next, beta * weight, beta)

@@ -117,7 +117,7 @@ def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
         r_lu = rng.uniform(key, depth, rng.LIGHT_POS_U, (n,))
         r_lv = rng.uniform(key, depth, rng.LIGHT_POS_V, (n,))
         direct = compute_direct(scene, sh, shade, r_pick, r_lu, r_lv,
-                                cfg.mis)
+                                cfg.mis, cfg.mat_types)
         if not cfg.debug_no_nee:
             radiance = radiance + beta * direct
 
@@ -139,7 +139,7 @@ def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
         r2 = rng.uniform(key, depth, rng.BSDF_V, (n,))
         rl = rng.uniform(key, depth, rng.BSDF_LOBE, (n,))
         wi_local, colour, pdf, ok = bsdf_mod.sample(
-            sh.mp, sh.wo_local, r1, r2, rl)
+            sh.mp, sh.wo_local, r1, r2, rl, cfg.mat_types)
         specular = bsdf_mod.is_specular(sh.mp.mtype)
         # throughput update (Renderer.h:362-374): specular lanes skip the
         # cosine (their colour/pdf already account for it)

@@ -92,7 +92,7 @@ def trace_vpls(scene: Scene, key, cfg: RenderConfig,
         # carried) times the vertex's BRDF toward the (diffuse-assumed)
         # gather direction; the receiver-side f applies in vpl_pass.
         up = V3.full(n, 0.0, 0.0, 1.0)
-        f_vpl = bsdf_mod.evaluate(sh.mp, sh.wo_local, up)
+        f_vpl = bsdf_mod.evaluate(sh.mp, sh.wo_local, up, cfg.mat_types)
         vpl_x.append(sh.x)
         vpl_n.append(sh.sn)
         vpl_le.append(beta * carried * f_vpl)
@@ -106,7 +106,7 @@ def trace_vpls(scene: Scene, key, cfg: RenderConfig,
         b2 = rng.uniform(key, depth + 1, rng.BSDF_V, (n,))
         bl = rng.uniform(key, depth + 1, rng.BSDF_LOBE, (n,))
         wi2, colour, pdf, ok = bsdf_mod.sample(sh.mp, sh.wo_local, b1, b2,
-                                               bl)
+                                               bl, cfg.mat_types)
         weight = colour * (jnp.abs(wi2.z) / jnp.maximum(pdf, 1e-9))
         alive = survive & ok & (weight.max_comp() > 0.0)
         beta = vwhere(alive, beta * weight, beta)
@@ -156,7 +156,8 @@ def vpl_pass(scene: Scene, film: film_mod.Film, key,
         occ = intersect.occluded(
             scene, sh.x + dir_ * EPSILON, dir_,
             jnp.where(cand, dist - 2.0 * EPSILON, -1.0))
-        f = bsdf_mod.evaluate(sh.mp, sh.wo_local, sh.frame.to_local(dir_))
+        f = bsdf_mod.evaluate(sh.mp, sh.wo_local, sh.frame.to_local(dir_),
+                              cfg.mat_types)
         contrib = vle * f * jnp.where(occ, 0.0, g_term)
         return acc + contrib, None
 

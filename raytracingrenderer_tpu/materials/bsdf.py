@@ -146,52 +146,67 @@ def _plastic_fresnel(mp: MatParams, cos_x) -> jax.Array:
 # ---------------------------------------------------------------------------
 # evaluate / pdf (non-delta lobes; used by NEE + MIS)
 
-def evaluate(mp: MatParams, wo: V3, wi: V3) -> V3:
+def _has(types, *ms) -> bool:
+    """Static presence test: `types` is the (trace-time constant) set of
+    MAT_* values present in the scene, or None for "assume all".  Lobes
+    for absent types are never built, so an all-diffuse scene compiles
+    to pure Lambert (the TPU analogue of devirtualization)."""
+    return types is None or any(m in types for m in ms)
+
+
+def evaluate(mp: MatParams, wo: V3, wi: V3, types=None) -> V3:
     """f(wo, wi) without the cosine term."""
     zero = V3.zeros(jnp.shape(wo.z))
     up = (wo.z > 0.0) & (wi.z > 0.0)
+    out = zero
 
-    f_diff = vwhere(up, mp.albedo * INV_PI, zero)
-    f_on = vwhere(up, _oren_nayar_f(mp.albedo, mp.sigma, wo, wi), zero)
-
-    # conductor: tinted microfacet with conductor Fresnel at h
-    h = (wo + wi).normalize()
-    fr_cond = fresnel.fresnel_conductor(wo.dot(h), mp.eta, mp.k) * mp.albedo
-    f_cond, _ = _ggx_reflect_eval(mp.alpha, fr_cond, wo, wi)
-
-    # plastic: Fresnel-weighted specular + diffuse
-    fr_h = _plastic_fresnel(mp, wo.dot(h))
-    spec, _ = _ggx_reflect_eval(mp.alpha, V3.of(1.0, 1.0, 1.0) * fr_h,
-                                wo, wi)
-    fr_o = _plastic_fresnel(mp, wo.z)
-    f_plastic = spec + vwhere(up, mp.albedo * (INV_PI * (1.0 - fr_o)), zero)
-
-    f_diel = _dielectric_eval_pdf(mp, wo, wi)[0]
-
-    out = vwhere(mp.mtype == MAT_DIFFUSE, f_diff, zero)
-    out = vwhere(mp.mtype == MAT_OREN_NAYAR, f_on, out)
-    out = vwhere(mp.mtype == MAT_CONDUCTOR, f_cond, out)
-    out = vwhere(mp.mtype == MAT_PLASTIC, f_plastic, out)
-    out = vwhere(mp.mtype == MAT_DIELECTRIC, f_diel, out)
+    if _has(types, MAT_DIFFUSE):
+        f_diff = vwhere(up, mp.albedo * INV_PI, zero)
+        out = vwhere(mp.mtype == MAT_DIFFUSE, f_diff, out)
+    if _has(types, MAT_OREN_NAYAR):
+        f_on = vwhere(up, _oren_nayar_f(mp.albedo, mp.sigma, wo, wi),
+                      zero)
+        out = vwhere(mp.mtype == MAT_OREN_NAYAR, f_on, out)
+    if _has(types, MAT_CONDUCTOR, MAT_PLASTIC):
+        h = (wo + wi).normalize()
+    if _has(types, MAT_CONDUCTOR):
+        # conductor: tinted microfacet with conductor Fresnel at h
+        fr_cond = (fresnel.fresnel_conductor(wo.dot(h), mp.eta, mp.k)
+                   * mp.albedo)
+        f_cond, _ = _ggx_reflect_eval(mp.alpha, fr_cond, wo, wi)
+        out = vwhere(mp.mtype == MAT_CONDUCTOR, f_cond, out)
+    if _has(types, MAT_PLASTIC):
+        # plastic: Fresnel-weighted specular + diffuse
+        fr_h = _plastic_fresnel(mp, wo.dot(h))
+        spec, _ = _ggx_reflect_eval(mp.alpha,
+                                    V3.of(1.0, 1.0, 1.0) * fr_h, wo, wi)
+        fr_o = _plastic_fresnel(mp, wo.z)
+        f_plastic = spec + vwhere(up, mp.albedo * (INV_PI * (1.0 - fr_o)),
+                                  zero)
+        out = vwhere(mp.mtype == MAT_PLASTIC, f_plastic, out)
+    if _has(types, MAT_DIELECTRIC):
+        f_diel = _dielectric_eval_pdf(mp, wo, wi)[0]
+        out = vwhere(mp.mtype == MAT_DIELECTRIC, f_diel, out)
     return out  # mirror/glass stay zero (delta)
 
 
-def pdf_fn(mp: MatParams, wo: V3, wi: V3) -> jax.Array:
+def pdf_fn(mp: MatParams, wo: V3, wi: V3, types=None) -> jax.Array:
     """Solid-angle pdf of `sample` for non-delta lobes (0 for deltas)."""
     cos_pdf = jnp.where((wo.z > 0.0) & (wi.z > 0.0), wi.z * INV_PI, 0.0)
-
-    _, pdf_ggx = _ggx_reflect_eval(mp.alpha, V3.of(1.0, 1.0, 1.0), wo, wi)
-
-    fr_o = _plastic_fresnel(mp, wo.z)
-    pdf_plastic = fr_o * pdf_ggx + (1.0 - fr_o) * cos_pdf
-
-    pdf_diel = _dielectric_eval_pdf(mp, wo, wi)[1]
-
     out = jnp.where((mp.mtype == MAT_DIFFUSE)
                     | (mp.mtype == MAT_OREN_NAYAR), cos_pdf, 0.0)
-    out = jnp.where(mp.mtype == MAT_CONDUCTOR, pdf_ggx, out)
-    out = jnp.where(mp.mtype == MAT_PLASTIC, pdf_plastic, out)
-    out = jnp.where(mp.mtype == MAT_DIELECTRIC, pdf_diel, out)
+    if _has(types, MAT_CONDUCTOR, MAT_PLASTIC):
+        _, pdf_ggx = _ggx_reflect_eval(mp.alpha, V3.of(1.0, 1.0, 1.0),
+                                       wo, wi)
+    if _has(types, MAT_CONDUCTOR):
+        out = jnp.where(mp.mtype == MAT_CONDUCTOR, pdf_ggx, out)
+    if _has(types, MAT_PLASTIC):
+        fr_o = _plastic_fresnel(mp, wo.z)
+        pdf_plastic = fr_o * pdf_ggx + (1.0 - fr_o) * cos_pdf
+        out = jnp.where(mp.mtype == MAT_PLASTIC, pdf_plastic, out)
+    if _has(types, MAT_DIELECTRIC):
+        pdf_diel = _dielectric_eval_pdf(mp, wo, wi)[1]
+        out = jnp.where(mp.mtype == MAT_DIELECTRIC, pdf_diel, out)
     return out
 
 
@@ -245,83 +260,90 @@ def _dielectric_eval_pdf(mp: MatParams, wo: V3, wi: V3
 # sampling
 
 def sample(mp: MatParams, wo: V3, r1: jax.Array, r2: jax.Array,
-           rl: jax.Array) -> Tuple[V3, V3, jax.Array, jax.Array]:
+           rl: jax.Array, types=None
+           ) -> Tuple[V3, V3, jax.Array, jax.Array]:
     """Sample an incident direction per lane.
 
     Returns (wi, colour, pdf, valid).  colour/pdf follow the reference's
     BSDF::sample contract (see module docstring); valid=False lanes
     (below-horizon microfacet rejects) should terminate the path.
+    `types` statically gates which lobe families are built (see _has).
     """
-    shape = jnp.shape(wo.z)
-    one = V3.full(shape, 1.0, 1.0, 1.0)
+    mt = mp.mtype
 
     # -- cosine lobe (diffuse / oren-nayar / plastic-diffuse) ----------
     wi_cos = warps.cosine_hemisphere(r1, r2)
-    pdf_cos = warps.cosine_hemisphere_pdf(wi_cos)
+    wi = wi_cos
 
     # -- mirror --------------------------------------------------------
-    wi_mirror = reflect_z(wo)
+    if _has(types, MAT_MIRROR):
+        wi = vwhere(mt == MAT_MIRROR, reflect_z(wo), wi)
 
-    # -- ggx half-vector (conductor / plastic-spec) --------------------
-    h = warps.ggx_sample_half(r1, r2, mp.alpha)
-    wi_ggx = _reflect_about(wo, h)
-    pdf_ggx = warps.ggx_half_pdf(h, mp.alpha) / jnp.maximum(
-        4.0 * jnp.abs(wo.dot(h)), 1e-7)
+    # -- ggx half-vector (conductor / plastic-spec / rough dielectric) -
+    if _has(types, MAT_CONDUCTOR, MAT_PLASTIC, MAT_DIELECTRIC):
+        h = warps.ggx_sample_half(r1, r2, mp.alpha)
+        wi_ggx = _reflect_about(wo, h)
+    if _has(types, MAT_CONDUCTOR):
+        wi = vwhere(mt == MAT_CONDUCTOR, wi_ggx, wi)
 
     # -- glass (smooth dielectric, stochastic Fresnel select) ----------
-    enter = wo.z > 0.0
-    g_eta_i = jnp.where(enter, mp.ext_ior, mp.int_ior)
-    g_eta_t = jnp.where(enter, mp.int_ior, mp.ext_ior)
-    r_glass, cos_t = fresnel.fresnel_dielectric(wo.z, g_eta_i, g_eta_t)
-    glass_reflect = rl < r_glass
-    wi_glass = vwhere(glass_reflect, reflect_z(wo),
-                      fresnel.refract_dir(wo, cos_t, g_eta_i / g_eta_t))
-    col_glass = vwhere(glass_reflect, mp.albedo * r_glass,
-                       mp.albedo * (1.0 - r_glass))
-    pdf_glass = jnp.where(glass_reflect, r_glass, 1.0 - r_glass)
+    if _has(types, MAT_GLASS):
+        enter = wo.z > 0.0
+        g_eta_i = jnp.where(enter, mp.ext_ior, mp.int_ior)
+        g_eta_t = jnp.where(enter, mp.int_ior, mp.ext_ior)
+        r_glass, cos_t = fresnel.fresnel_dielectric(wo.z, g_eta_i,
+                                                    g_eta_t)
+        glass_reflect = rl < r_glass
+        wi_glass = vwhere(glass_reflect, reflect_z(wo),
+                          fresnel.refract_dir(wo, cos_t,
+                                              g_eta_i / g_eta_t))
+        col_glass = vwhere(glass_reflect, mp.albedo * r_glass,
+                           mp.albedo * (1.0 - r_glass))
+        pdf_glass = jnp.where(glass_reflect, r_glass, 1.0 - r_glass)
+        wi = vwhere(mt == MAT_GLASS, wi_glass, wi)
 
     # -- rough dielectric ---------------------------------------------
-    s = jnp.where(wo.z >= 0.0, 1.0, -1.0)
-    wo_c = _mirror_z(wo, s)
-    d_eta_i = jnp.where(s > 0.0, mp.ext_ior, mp.int_ior)
-    d_eta_t = jnp.where(s > 0.0, mp.int_ior, mp.ext_ior)
-    r_d, cos_td = fresnel.fresnel_dielectric(wo_c.dot(h), d_eta_i, d_eta_t)
-    d_reflect = rl < r_d
-    wi_d_refl = _reflect_about(wo_c, h)
-    eta_ratio = d_eta_i / d_eta_t
-    # refract about microfacet h
-    c = wo_c.dot(h)
-    wi_d_trans = (h * (eta_ratio * c - cos_td) - wo_c * eta_ratio)
-    wi_dc = vwhere(d_reflect, wi_d_refl, wi_d_trans)
-    wi_diel = _mirror_z(wi_dc, s)
-    f_diel, pdf_diel = _dielectric_eval_pdf(mp, wo, wi_diel)
-    valid_diel = jnp.where(d_reflect, wi_dc.z > 0.0, wi_dc.z < 0.0)
+    if _has(types, MAT_DIELECTRIC):
+        s = jnp.where(wo.z >= 0.0, 1.0, -1.0)
+        wo_c = _mirror_z(wo, s)
+        d_eta_i = jnp.where(s > 0.0, mp.ext_ior, mp.int_ior)
+        d_eta_t = jnp.where(s > 0.0, mp.int_ior, mp.ext_ior)
+        r_d, cos_td = fresnel.fresnel_dielectric(wo_c.dot(h), d_eta_i,
+                                                 d_eta_t)
+        d_reflect = rl < r_d
+        wi_d_refl = _reflect_about(wo_c, h)
+        eta_ratio = d_eta_i / d_eta_t
+        # refract about microfacet h
+        c = wo_c.dot(h)
+        wi_d_trans = (h * (eta_ratio * c - cos_td) - wo_c * eta_ratio)
+        wi_dc = vwhere(d_reflect, wi_d_refl, wi_d_trans)
+        wi_diel = _mirror_z(wi_dc, s)
+        valid_diel = jnp.where(d_reflect, wi_dc.z > 0.0, wi_dc.z < 0.0)
+        wi = vwhere(mt == MAT_DIELECTRIC, wi_diel, wi)
 
     # -- plastic lobe select ------------------------------------------
-    fr_o = _plastic_fresnel(mp, wo.z)
-    plastic_spec = rl < fr_o
-    wi_plastic = vwhere(plastic_spec, wi_ggx, wi_cos)
-
-    # ---- per-type wi -------------------------------------------------
-    mt = mp.mtype
-    wi = vwhere(mt == MAT_MIRROR, wi_mirror, wi_cos)
-    wi = vwhere(mt == MAT_CONDUCTOR, wi_ggx, wi)
-    wi = vwhere(mt == MAT_GLASS, wi_glass, wi)
-    wi = vwhere(mt == MAT_DIELECTRIC, wi_diel, wi)
-    wi = vwhere(mt == MAT_PLASTIC, wi_plastic, wi)
+    if _has(types, MAT_PLASTIC):
+        fr_o = _plastic_fresnel(mp, wo.z)
+        plastic_spec = rl < fr_o
+        wi_plastic = vwhere(plastic_spec, wi_ggx, wi_cos)
+        wi = vwhere(mt == MAT_PLASTIC, wi_plastic, wi)
 
     # ---- per-type (colour, pdf, valid) -------------------------------
-    f_eval = evaluate(mp, wo, wi)    # correct for all non-delta types
-    pdf = pdf_fn(mp, wo, wi)
+    f_eval = evaluate(mp, wo, wi, types)  # correct for all non-delta
+    pdf = pdf_fn(mp, wo, wi, types)
     colour = f_eval
     # deltas override
-    colour = vwhere(mt == MAT_MIRROR, mp.albedo, colour)
-    pdf = jnp.where(mt == MAT_MIRROR, 1.0, pdf)
-    colour = vwhere(mt == MAT_GLASS, col_glass, colour)
-    pdf = jnp.where(mt == MAT_GLASS, pdf_glass, pdf)
+    if _has(types, MAT_MIRROR):
+        colour = vwhere(mt == MAT_MIRROR, mp.albedo, colour)
+        pdf = jnp.where(mt == MAT_MIRROR, 1.0, pdf)
+    if _has(types, MAT_GLASS):
+        colour = vwhere(mt == MAT_GLASS, col_glass, colour)
+        pdf = jnp.where(mt == MAT_GLASS, pdf_glass, pdf)
 
     valid = pdf > 1e-9
-    valid = jnp.where(mt == MAT_DIELECTRIC, valid & valid_diel, valid)
+    if _has(types, MAT_DIELECTRIC):
+        valid = jnp.where(mt == MAT_DIELECTRIC, valid & valid_diel,
+                          valid)
     valid = jnp.where(is_specular(mt), True, valid)
     valid = valid & (jnp.abs(wi.z) > 1e-7)
     return wi, colour, pdf, valid

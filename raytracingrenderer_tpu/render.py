@@ -26,6 +26,22 @@ from .scene.camera import generate_rays
 from .scene.types import Scene
 
 
+_MAX_CHUNK = 32  # samples per device dispatch in the batch path
+
+
+def specialize_config(cfg: RenderConfig, scene: Scene) -> RenderConfig:
+    """Fill cfg.mat_types with the material types the scene actually
+    uses (host-side, once per render) so jit compiles only those BSDF
+    lobes — the TPU analogue of devirtualizing the reference's BSDF*
+    dispatch (Materials.h:94-116)."""
+    if cfg.mat_types is not None:
+        return cfg
+    import dataclasses
+    types = tuple(sorted(set(
+        np.asarray(scene.materials.mtype).tolist())))
+    return dataclasses.replace(cfg, mat_types=types)
+
+
 def pixel_grid(height: int, width: int):
     """Flat pixel index arrays (x, y) in raster order."""
     ys, xs = jnp.mgrid[0:height, 0:width]
@@ -56,6 +72,23 @@ def _render_pass(scene: Scene, film: film_mod.Film, key: jax.Array,
     return film_mod.add_sample_image(film, img)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n"))
+def _render_chunk(scene: Scene, film: film_mod.Film, base: jax.Array,
+                  start: jax.Array, cfg: RenderConfig, n: int):
+    """`n` sample passes in ONE device dispatch (lax.scan over spp).
+
+    Folding the spp loop onto the device removes the per-pass host
+    round-trip — the TPU analogue of the reference keeping its whole
+    tile queue inside one thread-pool invocation (Renderer.h:836-853).
+    """
+    def step(f, s):
+        img = sample_image(scene, rng.spp_key(base, s), cfg)
+        return film_mod.add_sample_image(f, img), None
+
+    film, _ = jax.lax.scan(step, film, start + jnp.arange(n))
+    return film
+
+
 def render(scene: Scene, cfg: Optional[RenderConfig] = None,
            spp: Optional[int] = None,
            film: Optional[film_mod.Film] = None,
@@ -66,21 +99,33 @@ def render(scene: Scene, cfg: Optional[RenderConfig] = None,
     the film is the resumable unit, as in the reference where the film
     survives across frames, Imaging.h:253-261)."""
     cfg = cfg or RenderConfig()
+    cfg = specialize_config(cfg, scene)
     spp = spp if spp is not None else cfg.spp
     cam = scene.camera
     if film is None:
         film = film_mod.new_film(cam.height, cam.width)
     base = jax.random.PRNGKey(cfg.seed)
     start = int(np.asarray(film.spp))
-    for s in range(start, start + spp):
-        key = rng.spp_key(base, s)
-        film = _render_pass(scene, film, key, cfg)
-        # Bounded dispatch queue: deep async pipelines destabilize
-        # tunneled single-chip backends; syncing every few samples costs
-        # ~0.1 ms against ~ms-scale sample times.
-        if (s - start) % 4 == 3:
+    if on_sample is not None:
+        # Progressive path: one dispatch per sample so the caller sees
+        # every accumulation step (preview / checkpoint cadence).
+        for s in range(start, start + spp):
+            key = rng.spp_key(base, s)
+            film = _render_pass(scene, film, key, cfg)
             film.buffer.block_until_ready()
-        if on_sample is not None:
             on_sample(s, film)
-    film.buffer.block_until_ready()
+        return film
+    # Batch path: greedy power-of-two chunks, each a single device
+    # dispatch scanning over samples (at most log2(MAX_CHUNK)+1 distinct
+    # compilations, cached across calls).
+    s = start
+    remaining = spp
+    while remaining > 0:
+        n = min(_MAX_CHUNK, 1 << (remaining.bit_length() - 1))
+        film = _render_chunk(scene, film, base, jnp.int32(s), cfg, n)
+        # Bounded dispatch queue: deep async pipelines destabilize
+        # tunneled single-chip backends.
+        film.buffer.block_until_ready()
+        s += n
+        remaining -= n
     return film
