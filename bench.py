@@ -1,6 +1,7 @@
-"""Benchmark: pixel-paths/sec on cornell-box forward path tracing.
+"""Benchmark: pixel-paths/sec on cornell-box path tracing (fwd headline,
+fwd+bwd extra), vs the reference's implied CPU throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
 Baseline (BASELINE.md): the reference's implied throughput on its
 author's CPU for the cornell-box-class scene is ~15 M pixel-paths/s
@@ -10,7 +11,9 @@ pixel-paths/s divided by that.
 The measurement runs in a child process under a watchdog because the
 tunneled TPU backend can wedge (hang, not error); on TPU failure it
 falls back to an honest CPU measurement with the metric renamed so the
-numbers are never conflated.
+numbers are never conflated.  Compilation happens in a warmup render of
+the SAME chunk shapes as the timed region, so XLA compile time is never
+counted as render time.
 """
 from __future__ import annotations
 
@@ -19,7 +22,8 @@ import os
 import subprocess
 import sys
 
-BASELINE_PPS = 15e6  # pixel-paths/s, reference cornell-box class
+BASELINE_PPS = 15e6      # pixel-paths/s, reference cornell-box class
+BASELINE_BATHROOM = 0.25e6  # midpoint of the 0.1-0.4 M pps envelope
 
 _CHILD = r"""
 import json, time, sys
@@ -27,32 +31,75 @@ import jax
 import numpy as np
 from raytracingrenderer_tpu.config import RenderConfig
 from raytracingrenderer_tpu.imaging import film as film_mod
-from raytracingrenderer_tpu.render import render
+from raytracingrenderer_tpu.io.hdr import read_hdr
+from raytracingrenderer_tpu.render import render, specialize_config
 from raytracingrenderer_tpu.scene.loader import load_scene
+from raytracingrenderer_tpu.scene.types import Camera
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+on_tpu = jax.default_backend() == "tpu"
+out = {"backend": jax.default_backend()}
+
+def resize(scene, w, h):
+    c = scene.camera
+    return scene._replace(camera=Camera(
+        c.p, c.p_inv, c.cam_to_world, c.world_to_cam, w, h,
+        c.origin, c.a_film))
+
+# ---------------- cornell-box forward (headline) ----------------------
 scene = load_scene("/root/reference/RTBase/cornell-box")
 cfg = RenderConfig(mis=True, jitter=True, max_depth=4)
-if jax.default_backend() != "tpu":
-    # CPU fallback: quarter-res keeps the watchdog budget; the metric is
-    # per pixel-path so throughput stays comparable
-    from raytracingrenderer_tpu.scene.types import Camera
-    c = scene.camera
-    scene = scene._replace(camera=Camera(
-        c.p, c.p_inv, c.cam_to_world, c.world_to_cam, 512, 512,
-        c.origin, c.a_film))
+if not on_tpu:
+    scene = resize(scene, 512, 512)  # CPU fallback stays under watchdog
 h, w = scene.camera.height, scene.camera.width
-film = render(scene, cfg, spp=1)  # compile + warmup
+spp = 96 if on_tpu else 4
+# Warmup compiles every chunk shape the timed region will use (the spp
+# loop dispatches power-of-two chunks <= 32: warming with the same spp
+# covers them all), then the timed render reuses the jit cache.
+film = render(scene, cfg, spp=spp)
 jax.block_until_ready(film.buffer)
-spp = 64 if jax.default_backend() == "tpu" else 4
 t0 = time.perf_counter()
 film = render(scene, cfg, spp=spp, film=film)
 jax.block_until_ready(film.buffer)
 dt = time.perf_counter() - t0
+out["fwd_pps"] = h * w * spp / dt
+
+# Sanity: tie the bench image to the image-regression tolerance
+# (median pixel ratio vs the reference's own result_144.hdr render).
 img = np.asarray(film_mod.to_hdr(film))
 assert np.isfinite(img).all()
-assert 0.05 < img.mean() < 0.5, img.mean()  # sane cornell radiance
-print(json.dumps({"pps": h * w * spp / dt,
-                  "backend": jax.default_backend()}))
+if on_tpu:
+    ref = read_hdr("/root/reference/RTBase/result_144.hdr")
+    mask = ref.mean(-1) < 1.0  # exclude the emitter
+    ratio = np.median(img.mean(-1)[mask] / np.maximum(ref.mean(-1)[mask],
+                                                      1e-6))
+    assert 0.9 < ratio < 1.1, f"regression ratio {ratio}"
+    out["regression_ratio_vs_result144"] = round(float(ratio), 4)
+
+# ---------------- cornell-box fwd+bwd (north-star extra) --------------
+import jax.numpy as jnp
+from raytracingrenderer_tpu.diff import _train_step_impl
+
+bw, bh = (1024, 1024) if on_tpu else (128, 128)
+sc2 = resize(scene, bw, bh)
+cfg2 = specialize_config(RenderConfig(mis=True, jitter=True, max_depth=4),
+                         sc2)
+target = jnp.zeros((bh, bw, 3), jnp.float32)
+key = jax.random.PRNGKey(0)
+sc2, _ = _train_step_impl(sc2, target, key, cfg2, 0.01)  # compile
+jax.block_until_ready(sc2.materials.albedo.x)
+steps = 8 if on_tpu else 1
+t0 = time.perf_counter()
+for i in range(steps):
+    sc2, loss = _train_step_impl(sc2, target, jax.random.PRNGKey(i), cfg2,
+                                 0.01)
+jax.block_until_ready(sc2.materials.albedo.x)
+dt = time.perf_counter() - t0
+out["fwdbwd_pps"] = bw * bh * steps / dt
+
+print(json.dumps(out))
 """
 
 
@@ -72,10 +119,10 @@ def _run(env_extra, timeout):
 
 
 def main():
-    result = _run({}, timeout=300)  # default backend (TPU when healthy)
+    result = _run({}, timeout=480)  # default backend (TPU when healthy)
     metric = "cornell-box_1024sq_pixel_paths_per_sec"
     if result is None or result.get("backend") != "tpu":
-        cpu = _run({"JAX_PLATFORMS": "cpu"}, timeout=280)
+        cpu = _run({"JAX_PLATFORMS": "cpu"}, timeout=400)
         if result is None:
             result = cpu
             metric += "_cpu_fallback"
@@ -83,14 +130,18 @@ def main():
         print(json.dumps({"metric": metric + "_failed", "value": 0.0,
                           "unit": "pixel-paths/s", "vs_baseline": 0.0}))
         return
-    pps = result["pps"]
-    if result.get("backend") != "tpu" and not metric.endswith("fallback"):
-        metric += "_" + result.get("backend", "unknown")
+    pps = result.pop("fwd_pps")
+    backend = result.pop("backend", "unknown")
+    if backend != "tpu" and not metric.endswith("fallback"):
+        metric += "_" + backend
+    extras = {k: round(v, 1) if isinstance(v, float) else v
+              for k, v in result.items()}
     print(json.dumps({
         "metric": metric,
         "value": round(pps, 1),
         "unit": "pixel-paths/s",
         "vs_baseline": round(pps / BASELINE_PPS, 3),
+        "extras": extras,
     }))
 
 

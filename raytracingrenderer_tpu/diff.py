@@ -49,10 +49,10 @@ def render_loss(params, scene: Scene, target: jax.Array, key,
     return jnp.mean((img - target) ** 2)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def train_step(scene: Scene, target: jax.Array, key, cfg: RenderConfig,
-               lr: float = 0.1) -> Tuple[Scene, jax.Array]:
-    """One SGD step on (albedo, emission, light Le)."""
+@functools.partial(jax.jit, static_argnames=("cfg", "lr"))
+def _train_step_impl(scene: Scene, target: jax.Array, key,
+                     cfg: RenderConfig, lr: float
+                     ) -> Tuple[Scene, jax.Array]:
     params, _ = _split_scene(scene)
     loss, grads = jax.value_and_grad(render_loss)(params, scene, target,
                                                   key, cfg)
@@ -61,8 +61,28 @@ def train_step(scene: Scene, target: jax.Array, key, cfg: RenderConfig,
     return _merge_scene(new_params, scene), loss
 
 
+def train_step(scene: Scene, target: jax.Array, key, cfg: RenderConfig,
+               lr: float = 0.1) -> Tuple[Scene, jax.Array]:
+    """One SGD step on (albedo, emission, light Le).
+
+    Specializes cfg.mat_types to the scene's material set before jit —
+    compiling all 7 lobe families through fwd+bwd costs minutes of XLA
+    time (see render.specialize_config).
+    """
+    from .render import specialize_config
+    return _train_step_impl(scene, target, key,
+                            specialize_config(cfg, scene), lr)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def param_grads(scene: Scene, target: jax.Array, key, cfg: RenderConfig):
-    """Gradients only (for gradient-check tests vs finite differences)."""
+def _param_grads_impl(scene: Scene, target: jax.Array, key,
+                      cfg: RenderConfig):
     params, _ = _split_scene(scene)
     return jax.grad(render_loss)(params, scene, target, key, cfg)
+
+
+def param_grads(scene: Scene, target: jax.Array, key, cfg: RenderConfig):
+    """Gradients only (for gradient-check tests vs finite differences)."""
+    from .render import specialize_config
+    return _param_grads_impl(scene, target, key,
+                             specialize_config(cfg, scene))

@@ -20,10 +20,21 @@ def _gather_texel(atlas: TextureAtlas, tid, x, y) -> V3:
     return V3(t[..., 0], t[..., 1], t[..., 2])
 
 
+def has_textures(atlas: TextureAtlas) -> bool:
+    """Static (shape-derived) presence test — an empty atlas has a
+    zero-length leading axis, so jit traces texture-free scenes without
+    any gather work at all (the 4x bilinear gather otherwise costs more
+    than BVH traversal per bounce)."""
+    return atlas.data.shape[0] > 0
+
+
 def sample(atlas: TextureAtlas, tid: jax.Array, u: jax.Array,
            v: jax.Array) -> V3:
     """Bilinear RGB sample; tid may be -1 (returns white, like the
     reference's 1x1 default texture)."""
+    if not has_textures(atlas):
+        one = jnp.ones(jnp.broadcast_shapes(jnp.shape(tid), jnp.shape(u)))
+        return V3(one, one, one)
     safe_tid = jnp.maximum(tid, 0)
     h = atlas.hw[safe_tid, 0]
     w = atlas.hw[safe_tid, 1]
@@ -52,6 +63,8 @@ def sample_alpha(atlas: TextureAtlas, tid: jax.Array, u: jax.Array,
                  v: jax.Array) -> jax.Array:
     """Bilinear alpha sample (reference Imaging.h:96-118); 1.0 where the
     texture has no alpha plane or tid is -1."""
+    if not has_textures(atlas):
+        return jnp.ones(jnp.broadcast_shapes(jnp.shape(tid), jnp.shape(u)))
     safe_tid = jnp.maximum(tid, 0)
     h = atlas.hw[safe_tid, 0]
     w = atlas.hw[safe_tid, 1]

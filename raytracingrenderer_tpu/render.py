@@ -33,8 +33,16 @@ def specialize_config(cfg: RenderConfig, scene: Scene) -> RenderConfig:
     """Fill cfg.mat_types with the material types the scene actually
     uses (host-side, once per render) so jit compiles only those BSDF
     lobes — the TPU analogue of devirtualizing the reference's BSDF*
-    dispatch (Materials.h:94-116)."""
+    dispatch (Materials.h:94-116).
+
+    Compiling all 7 lobe families through the fwd+bwd bounce scan costs
+    minutes of XLA time (vs seconds specialized), so every API entry
+    point must pass through here.  No-op if the scene is already traced
+    (mtype is abstract) — then the caller had to specialize earlier.
+    """
     if cfg.mat_types is not None:
+        return cfg
+    if isinstance(scene.materials.mtype, jax.core.Tracer):
         return cfg
     import dataclasses
     types = tuple(sorted(set(
@@ -52,6 +60,7 @@ def pixel_grid(height: int, width: int):
 def sample_image(scene: Scene, key: jax.Array, cfg: RenderConfig
                  ) -> jax.Array:
     """One radiance sample per pixel -> (H, W, 3).  jit-able; cfg static."""
+    cfg = specialize_config(cfg, scene)  # no-op under trace / if filled
     cam = scene.camera
     xs, ys = pixel_grid(cam.height, cam.width)
     if cfg.jitter:

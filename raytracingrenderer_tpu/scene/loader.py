@@ -97,10 +97,13 @@ class _TextureManager:
 
     def build_atlas(self) -> TextureAtlas:
         if not self.images:
+            # Zero-length leading axis = static "no textures" signal;
+            # texture.sample short-circuits on it so texture-free scenes
+            # (e.g. cornell-box) pay nothing per bounce.
             return TextureAtlas(
-                data=jnp.zeros((1, 1, 1, 3), jnp.float32),
-                alpha=jnp.ones((1, 1, 1), jnp.float32),
-                hw=jnp.ones((1, 2), jnp.int32))
+                data=jnp.zeros((0, 1, 1, 3), jnp.float32),
+                alpha=jnp.ones((0, 1, 1), jnp.float32),
+                hw=jnp.ones((0, 2), jnp.int32))
         hmax = max(i.shape[0] for i in self.images)
         wmax = max(i.shape[1] for i in self.images)
         n = len(self.images)
