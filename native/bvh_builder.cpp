@@ -141,7 +141,7 @@ struct Builder {
       }
       if (best < 0) {
         mid = first + n / 2;
-      } else if (best_cost >= kTriangleCost * n && n <= 2 * max_leaf) {
+      } else if (best_cost >= kTriangleCost * n && n <= max_leaf) {
         return emit(bounds, -1, first, n);  // leaf cheaper than split
       } else {
         auto it = std::partition(
@@ -196,5 +196,41 @@ int bvh_build(const float* tri_verts, int t_count, int max_leaf,
   std::memcpy(out_count, b.count.data(), sizeof(int) * n_nodes);
   std::memcpy(out_order, b.order.data(), sizeof(int) * n_tri);
   return n_nodes;
+}
+
+// Walker/Vose alias-table construction for O(1) discrete sampling on
+// device (inverse-CDF searchsorted is ~log2(N) serialized gather rounds
+// on TPU; the alias method is one gather + one compare).  `p` must be a
+// normalized probability vector of length n.  Outputs: prob[i] in [0,1]
+// and alias[i] (an index), such that sampling j ~ U{0..n-1}, r ~ U[0,1)
+// and picking j if r < prob[j] else alias[j] reproduces p exactly.
+void alias_build(const double* p, int n, float* out_prob, int* out_alias) {
+  std::vector<double> scaled(n);
+  std::vector<int> small_idx, large_idx;
+  small_idx.reserve(n);
+  large_idx.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    scaled[i] = p[i] * n;
+    out_alias[i] = i;
+    if (scaled[i] < 1.0) small_idx.push_back(i);
+    else large_idx.push_back(i);
+  }
+  while (!small_idx.empty() && !large_idx.empty()) {
+    int s = small_idx.back(); small_idx.pop_back();
+    int l = large_idx.back(); large_idx.pop_back();
+    out_prob[s] = static_cast<float>(scaled[s]);
+    out_alias[s] = l;
+    scaled[l] = (scaled[l] + scaled[s]) - 1.0;
+    if (scaled[l] < 1.0) small_idx.push_back(l);
+    else large_idx.push_back(l);
+  }
+  while (!large_idx.empty()) {
+    out_prob[large_idx.back()] = 1.0f;
+    large_idx.pop_back();
+  }
+  while (!small_idx.empty()) {  // numerical stragglers
+    out_prob[small_idx.back()] = 1.0f;
+    small_idx.pop_back();
+  }
 }
 }

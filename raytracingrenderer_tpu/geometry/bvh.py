@@ -105,7 +105,7 @@ def build(tp: np.ndarray, max_leaf: int = MAX_LEAF
             if not np.isfinite(cost[best]):
                 half = n // 2
                 left_ids, right_ids = ids[:half], ids[half:]
-            elif cost[best] >= TRIANGLE_COST * n and n <= 2 * max_leaf:
+            elif cost[best] >= TRIANGLE_COST * n and n <= max_leaf:
                 # Leaf is cheaper than the best split (cost-based cutoff
                 # the reference declares but never applies).
                 order[start:start + n] = ids
@@ -132,6 +132,7 @@ def build(tp: np.ndarray, max_leaf: int = MAX_LEAF
         start=jnp.asarray(start_list, jnp.int32),
         count=jnp.asarray(count_list, jnp.int32),
         skip=jnp.asarray(compute_skip(right_np)),
+        leaf_max=int(max((c for c in count_list), default=0)) or 1,
     ), order
 
 

@@ -43,6 +43,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            if hasattr(lib, "alias_build"):
+                lib.alias_build.restype = None
+                lib.alias_build.argtypes = [
+                    ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int)]
             _lib = lib
         except OSError as e:  # pragma: no cover
             get_logger("bvh").warning("native builder unavailable: %s", e)
@@ -85,4 +91,5 @@ def build(tp: np.ndarray, max_leaf: int = 4) -> Tuple[BVH, np.ndarray]:
         start=jnp.asarray(start[:n_nodes]),
         count=jnp.asarray(count[:n_nodes]),
         skip=jnp.asarray(compute_skip(right[:n_nodes])),
+        leaf_max=int(count[:n_nodes].max()) or 1,
     ), order.astype(np.int64)

@@ -277,27 +277,89 @@ def _traverse_stackless(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
 
 
 def closest_hit_bvh(bvh: BVH, tris: Triangles, o: V3, d: V3,
-                    max_leaf: int = 4) -> Hit:
+                    max_leaf: Optional[int] = None) -> Hit:
     n = o.x.shape[0]
     return _traverse_stackless(bvh, tris, o, d, jnp.full(n, BIG_T), False,
-                               max_leaf)
+                               max_leaf or bvh.leaf_max)
 
 
 def any_hit_bvh(bvh: BVH, tris: Triangles, o: V3, d: V3,
-                max_t: jax.Array, max_leaf: int = 4) -> jax.Array:
-    best = _traverse_stackless(bvh, tris, o, d, max_t, True, max_leaf)
+                max_t: jax.Array, max_leaf: Optional[int] = None
+                ) -> jax.Array:
+    best = _traverse_stackless(bvh, tris, o, d, max_t, True,
+                               max_leaf or bvh.leaf_max)
     return best.tri >= 0
 
 
 def closest_hit_bvh_stack(bvh: BVH, tris: Triangles, o: V3, d: V3,
-                          max_leaf: int = 4) -> Hit:
+                          max_leaf: Optional[int] = None) -> Hit:
     """Stack-based ordered traversal (kept for comparison/benchmarks)."""
     n = o.x.shape[0]
-    return _traverse(bvh, tris, o, d, jnp.full(n, BIG_T), False, max_leaf)
+    return _traverse(bvh, tris, o, d, jnp.full(n, BIG_T), False,
+                     max_leaf or bvh.leaf_max)
 
 
-def closest_hit(scene, o: V3, d: V3) -> Hit:
+def _sort_key(scene, o: V3, d: V3, active) -> jax.Array:
+    """Coherence key for wavefront ray sorting: [active | direction
+    octant | 6-bit-per-axis Morton cell of the origin].
+
+    Bounce/shadow rays arrive in pixel order but point anywhere; the
+    packet kernel's cost is the UNION of each 4096-ray block's node
+    sets, so regrouping rays by (octant, origin cell) collapses that
+    union toward the coherent-primary case.  Inactive rays sort to the
+    back, so whole blocks of dead lanes terminate in tree-depth steps.
+    This replaces the reference's tile queue locality (its threads get
+    coherence for free from screen-space tiles, Renderer.h:795-853) —
+    and is the wavefront "sort/compact rays by liveness" step SURVEY §7
+    plans.
+    """
+    c = scene.bounds.centre
+    r = jnp.maximum(scene.bounds.radius, 1e-6)
+    def cell(x, cx):
+        q = jnp.clip((x - cx) / (2.0 * r) + 0.5, 0.0, 0.999)
+        return (q * 64.0).astype(jnp.uint32)          # 6 bits
+    def spread3(v):
+        # classic 10-bit Morton spread (bit i -> bit 3i); inputs are 6-bit
+        v = (v | (v << 16)) & jnp.uint32(0x30000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x30C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x9249249)
+        return v
+    morton = (spread3(cell(o.x, c.x))
+              | (spread3(cell(o.y, c.y)) << 1)
+              | (spread3(cell(o.z, c.z)) << 2))       # 18 bits
+    octant = ((d.x > 0).astype(jnp.uint32)
+              | ((d.y > 0).astype(jnp.uint32) << 1)
+              | ((d.z > 0).astype(jnp.uint32) << 2))  # 3 bits
+    key = (octant << 18) | morton
+    return jnp.where(active, key, jnp.uint32(0x7FFFFFFF))
+
+
+def _sorted_call(scene, o: V3, d: V3, active, payload, fn):
+    """Sort rays by coherence key, run fn on the sorted batch, unsort.
+
+    payload: extra per-ray arrays to permute along (e.g. max_t).
+    fn(o, d, *payload) -> pytree of per-ray arrays.
+    """
+    key = _sort_key(scene, o, d, active)
+    n = key.shape[0]
+    args = jax.lax.sort(
+        (key, o.x, o.y, o.z, d.x, d.y, d.z,
+         jnp.arange(n, dtype=jnp.int32)) + tuple(payload),
+        num_keys=1)
+    perm = args[7]
+    out = fn(V3(args[1], args[2], args[3]), V3(args[4], args[5], args[6]),
+             *args[8:])
+    inv = jnp.zeros(n, jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return jax.tree_util.tree_map(lambda a: a[inv], out)
+
+
+def closest_hit(scene, o: V3, d: V3, active=None) -> Hit:
     """Scene-level dispatch (reference Scene::traverse, Scene.h:107-130).
+
+    `active` marks live lanes; inactive lanes return misses without
+    paying traversal (their search radius is negative).
 
     Outputs are stop-gradiented: hit structure (ids, t, barycentrics) is
     discrete path structure under the detached-sampling differentiation
@@ -306,28 +368,66 @@ def closest_hit(scene, o: V3, d: V3) -> Hit:
     """
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    n = o.x.shape[0]
     tris = jax.lax.stop_gradient(scene.triangles)
+    t_init = jnp.full(n, BIG_T, jnp.float32)
+    if active is not None:
+        t_init = jnp.where(jax.lax.stop_gradient(active), t_init, -1.0)
+    from ..ops import bvh_kernel, mt_kernel
     if scene.bvh is not None and scene.triangles.count > 64:
-        h = closest_hit_bvh(scene.bvh, tris, o, d)
+        if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
+            act = (jnp.ones(n, bool) if active is None
+                   else jax.lax.stop_gradient(active))
+            h = _sorted_call(
+                scene, o, d, act, (t_init,),
+                lambda so, sd, st: bvh_kernel.traverse_packet(
+                    scene.bvh, tris, so, sd, st))
+            h = h._replace(t=jnp.where(h.tri >= 0, h.t, BIG_T))
+        else:
+            h = _traverse_stackless(scene.bvh, tris, o, d, t_init, False,
+                                    scene.bvh.leaf_max)
+            h = h._replace(t=jnp.where(h.tri >= 0, h.t, BIG_T))
     else:
-        from ..ops import mt_kernel
         if mt_kernel.use_pallas():
-            h = mt_kernel.closest_hit_pallas(tris, o, d)
+            h = mt_kernel.intersect_pallas(tris, o, d, t_init)
+            h = h._replace(t=jnp.where(h.tri >= 0, h.t, BIG_T))
         else:
             h = closest_hit_brute(tris, o, d)
+            if active is not None:
+                dead = ~jax.lax.stop_gradient(active)
+                h = Hit(jnp.where(dead, BIG_T, h.t),
+                        jnp.where(dead, -1, h.tri), h.u, h.v)
     return jax.tree_util.tree_map(jax.lax.stop_gradient, h)
+
+
+# VMEM budget for the packet kernel's resident tables (node + leaf
+# rows); the rest of the 128 MB/core holds ray blocks, the traversal
+# stack and pipeline buffers.
+_PACKET_TABLE_BYTES = 96 * 1024 * 1024
+
+
+def _packet_fits(bvh, tris) -> bool:
+    from ..ops import bvh_kernel
+    return (bvh_kernel.usable(bvh)
+            and bvh_kernel.table_bytes(bvh, tris) <= _PACKET_TABLE_BYTES)
 
 
 def occluded(scene, o: V3, d: V3, max_t: jax.Array) -> jax.Array:
     """Scene-level any-hit (reference Scene::visible, Scene.h:161-169).
-    Boolean visibility is non-differentiable by nature; stop-gradiented."""
+    Boolean visibility is non-differentiable by nature; stop-gradiented.
+    Lanes with max_t < 0 are inactive and skip traversal."""
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     max_t = jax.lax.stop_gradient(max_t)
-    if scene.bvh is not None and scene.triangles.count > 64:
-        return any_hit_bvh(scene.bvh, scene.triangles, o, d, max_t)
     tris = jax.lax.stop_gradient(scene.triangles)
-    from ..ops import mt_kernel
+    from ..ops import bvh_kernel, mt_kernel
+    if scene.bvh is not None and scene.triangles.count > 64:
+        if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
+            return _sorted_call(
+                scene, o, d, max_t > 0.0, (max_t,),
+                lambda so, sd, st: bvh_kernel.traverse_packet(
+                    scene.bvh, tris, so, sd, st, any_hit=True).tri >= 0)
+        return any_hit_bvh(scene.bvh, tris, o, d, max_t)
     if mt_kernel.use_pallas():
         return mt_kernel.any_hit_pallas(tris, o, d, max_t)
     return any_hit_brute(tris, o, d, max_t)

@@ -63,7 +63,7 @@ def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
         beta = state["throughput"]
         radiance = state["radiance"]
 
-        hit = intersect.closest_hit(scene, o, d)
+        hit = intersect.closest_hit(scene, o, d, alive)
         found = hit.valid & alive
         missed = alive & ~hit.valid
 

@@ -1,0 +1,400 @@
+"""Pallas TPU kernel: packet BVH traversal (closest-hit + any-hit).
+
+TPU-native re-design of the reference's per-thread recursive BVH walk
+(/root/reference/RTBase/Geometry.h:399-462).  A vector machine has no
+efficient per-lane gather, so per-ray independent tree walks (the GPU
+idiom) do not map; instead each grid program traverses the tree ONCE for
+a whole block of rays — scalar control flow over a shared stack, vector
+data flow over the ray block:
+
+- Only INTERNAL nodes exist in the walk: each row stores both children's
+  bounds and child codes (internal row index, or ~leaf row), so one
+  visit = one row, two AABB tests against every ray in the block (scalar
+  bounds broadcast against (sub, 128) ray component registers — pure
+  VPU, zero gathers), then descend into the near child and push the far
+  one only on a true fork.
+- Leaves are consumed inline without touching the stack: one leaf = one
+  full 128-lane row holding up to 14 triangles (9 floats each, empty
+  slots zeroed so their degenerate determinant can never hit) plus the
+  leaf's base triangle index; the dense masked Moller-Trumbore unroll is
+  the same form as ops/mt_kernel.py.
+- Near/far ordering is the classic direction-sign heuristic: the build
+  packs each node's split axis and which child sits lower along it; the
+  kernel compares against the ray block's mean direction sign — no
+  per-visit reductions for ordering.
+- Per-ray predication rides in the traversal state itself: the current
+  subtree's per-ray box-entry distance `t_entry` (+inf where the ray
+  missed).  The live mask is `t_entry < t_best`, which re-prunes against
+  the *fresh* per-ray best distance at every step for free.
+
+Memory layout note: Mosaic stores every (N, k) VMEM array padded to 128
+lanes (512 bytes/row for f32), so narrow per-triangle tables waste 14x —
+both tables here therefore pack full rows: nodes (I, 16) f32 (codes
+stored as exactly-representable f32 integers) and leaves (L, 128) f32.
+Total footprint is ~(I + L) * 512 B, ~40 MB for the 331k-triangle
+bathroom scene, against the chip's 128 MB VMEM.  Scalar reads use
+dynamic-sublane indexing, the one dynamic-scalar-read form Mosaic
+supports.
+
+Any-hit reuses the kernel with occluded rays' t_best forced negative so
+every mask test drops them, plus a whole-block early exit.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.vec import V3
+from ..geometry.intersect import BIG_T, DET_EPS, Hit
+from ..scene.types import BVH, Triangles
+
+RAY_SUB = 32            # sublane rows per ray block (tunable)
+RAY_LANE = 128
+MAX_STACK = 64          # >= tree depth; binned SAH depth ~ 2*log2(B)
+INF = 3.0e38            # plain float: jnp scalars can't be captured
+SLOTS = 14              # triangles per leaf row: 14*9 = 126 <= 126 lanes
+LANE_START = 126        # leaf row lane holding the base triangle index
+LANE_COUNT = 127        # leaf row lane holding the slot count
+
+
+def _kernel(nodes_ref, leaf_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
+            t_ref, tri_ref, u_ref, v_ref,
+            tstack_ref, nstack_ref,
+            *, init_code: int, max_iters: int, any_hit: bool,
+            ray_sub: int):
+    blk = (ray_sub, RAY_LANE)
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    ix = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
+    iy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
+    iz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
+    oix = ox * ix
+    oiy = oy * iy
+    oiz = oz * iz
+    # block mean direction sign, for the near-child heuristic
+    sdx = jnp.sum(dx) > 0.0
+    sdy = jnp.sum(dy) > 0.0
+    sdz = jnp.sum(dz) > 0.0
+
+    def slab(c0, t_b, m):
+        """Children boxes of internal row c0 -> (te_l, te_r) per ray,
+        +INF where missed/pruned.  One row: [llo lhi rlo rhi] x xyz."""
+        def one(base):
+            lox = nodes_ref[c0, base + 0]
+            loy = nodes_ref[c0, base + 1]
+            loz = nodes_ref[c0, base + 2]
+            hix = nodes_ref[c0, base + 3]
+            hiy = nodes_ref[c0, base + 4]
+            hiz = nodes_ref[c0, base + 5]
+            t0x = lox * ix - oix
+            t1x = hix * ix - oix
+            t0y = loy * iy - oiy
+            t1y = hiy * iy - oiy
+            t0z = loz * iz - oiz
+            t1z = hiz * iz - oiz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            te = jnp.maximum(tmin, 0.0)
+            ok = m & (tmax >= te) & (te < t_b)
+            return jnp.where(ok, te, INF)
+
+        return one(0), one(6)
+
+    def leaf_test(row, m, t_b, tri_b, u_b, v_b):
+        """Unrolled dense MT over the leaf row's triangle slots."""
+        base = leaf_ref[row, LANE_START].astype(jnp.int32)
+        for k in range(SLOTS):
+            c = 9 * k
+            p0x = leaf_ref[row, c + 0]
+            p0y = leaf_ref[row, c + 1]
+            p0z = leaf_ref[row, c + 2]
+            e1x = leaf_ref[row, c + 3]
+            e1y = leaf_ref[row, c + 4]
+            e1z = leaf_ref[row, c + 5]
+            e2x = leaf_ref[row, c + 6]
+            e2y = leaf_ref[row, c + 7]
+            e2z = leaf_ref[row, c + 8]
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = jnp.where(jnp.abs(det) < DET_EPS, 0.0, 1.0 / det)
+            tvx = ox - p0x
+            tvy = oy - p0y
+            tvz = oz - p0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            hit = (m & (jnp.abs(det) >= DET_EPS) & (uu >= 0.0)
+                   & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > 0.0)
+                   & (tt < t_b))
+            if any_hit:
+                # occluded rays' t_best goes negative: every later mask
+                # and test predicate drops them automatically
+                t_b = jnp.where(hit, -1.0, t_b)
+                tri_b = jnp.where(hit, base + k, tri_b).astype(jnp.int32)
+            else:
+                t_b = jnp.where(hit, tt, t_b)
+                tri_b = jnp.where(hit, base + k, tri_b).astype(jnp.int32)
+                u_b = jnp.where(hit, uu, u_b)
+                v_b = jnp.where(hit, vv, v_b)
+        return t_b, tri_b, u_b, v_b
+
+    def body(state):
+        it, sp, have, code, te, t_b, tri_b, u_b, v_b = state
+        # refill from the stack when the walk ran out of a subtree
+        do_pop = jnp.logical_not(have)
+        slot = jnp.maximum(sp - 1, 0)
+        code = jnp.where(do_pop, nstack_ref[slot], code)
+        te_mem = tstack_ref[pl.ds(slot * ray_sub, ray_sub), :]
+        te = jnp.where(do_pop, te_mem, te)
+        sp = jnp.where(do_pop, slot, sp)
+
+        m = te < t_b
+        is_leaf = code < 0
+
+        # ---- leaf: dense unrolled MT over one full leaf row ------------
+        leaf_row = jnp.maximum((-code) - 1, 0)
+        t_b, tri_b, u_b, v_b = jax.lax.cond(
+            is_leaf,
+            lambda args: leaf_test(leaf_row, m, *args),
+            lambda args: args,
+            (t_b, tri_b, u_b, v_b))
+
+        # ---- internal: both children from one row, ordered descent ----
+        safe = jnp.maximum(code, 0)
+        tel, ter = slab(safe, t_b, m & jnp.logical_not(is_leaf))
+        lcode = nodes_ref[safe, 12].astype(jnp.int32)
+        rcode = nodes_ref[safe, 13].astype(jnp.int32)
+        ab = nodes_ref[safe, 14].astype(jnp.int32)
+        axis = ab & 3  # bit0..1: axis, bit2: left child lower on axis
+        l_low = (ab & 4) > 0
+        d_pos = jax.lax.select(axis == 0, sdx,
+                               jax.lax.select(axis == 1, sdy, sdz))
+        left_near = d_pos == l_low
+
+        code_f = jnp.where(left_near, lcode, rcode)
+        code_s = jnp.where(left_near, rcode, lcode)
+        te_f = jnp.where(left_near, tel, ter)
+        te_s = jnp.where(left_near, ter, tel)
+        any_f = jnp.min(te_f) < INF
+        any_s = jnp.min(te_s) < INF
+
+        # fork: push the far child; else follow the single live child
+        @pl.when(any_f & any_s)
+        def _():
+            nstack_ref[sp] = code_s
+            tstack_ref[pl.ds(sp * ray_sub, ray_sub), :] = te_s
+
+        sp = sp + (any_f & any_s).astype(jnp.int32)
+        have = any_f | any_s
+        code = jnp.where(any_f, code_f, code_s)
+        te = jnp.where(any_f, te_f, te_s)
+        if any_hit:
+            # whole-block early exit once every ray is occluded
+            done = jnp.max(t_b) < 0.0
+            have = have & jnp.logical_not(done)
+            sp = jnp.where(done, 0, sp)
+        return it + 1, sp, have, code, te, t_b, tri_b, u_b, v_b
+
+    def cond(state):
+        it, sp, have, *_ = state
+        return (have | (sp > 0)) & (it < jnp.int32(max_iters))
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.bool_(True),
+            jnp.int32(init_code),
+            jnp.zeros(blk, jnp.float32),          # root entry-t
+            t0_ref[...],
+            jnp.full(blk, -1, jnp.int32),
+            jnp.zeros(blk, jnp.float32),
+            jnp.zeros(blk, jnp.float32))
+    out = jax.lax.while_loop(cond, body, init)
+    _, _, _, _, _, t_b, tri_b, u_b, v_b = out
+    t_ref[...] = t_b
+    tri_ref[...] = tri_b
+    u_ref[...] = u_b
+    v_ref[...] = v_b
+
+
+def pack_tables(bvh: BVH, tris: Triangles
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Pack (nodes (I, 16) f32, leaves (L, 128) f32) kernel tables.
+
+    Codes are stored as f32 integers (exact: all indices < 2^24);
+    internal child = its internal row index, leaf child = -(leaf_row+1).
+    jnp ops so the pack is jit-hoisted (loop-invariant) when traced
+    inside a render; gathers run once per render.
+    """
+    if bvh.leaf_max > SLOTS:
+        raise ValueError(
+            f"BVH leaf_max {bvh.leaf_max} exceeds the kernel's {SLOTS} "
+            f"slots per leaf row; rebuild with max_leaf <= {SLOTS}")
+    right = bvh.right
+    b = right.shape[0]
+    is_int = right >= 0
+    n_int = max((int(b) - 1) // 2, 1)
+    n_leaf = (int(b) + 1) // 2
+    iid = jnp.cumsum(is_int.astype(jnp.int32)) - 1
+    lid = jnp.cumsum((~is_int).astype(jnp.int32)) - 1
+    int_ids = jnp.nonzero(is_int, size=n_int, fill_value=0)[0]
+    leaf_ids = jnp.nonzero(~is_int, size=n_leaf, fill_value=0)[0]
+
+    # ---- leaf rows -----------------------------------------------------
+    start = bvh.start[leaf_ids]
+    count = bvh.count[leaf_ids]
+    t_count = tris.count
+    k = jnp.arange(SLOTS, dtype=jnp.int32)
+    ti = jnp.clip(start[:, None] + k[None, :], 0, max(t_count - 1, 0))
+    valid = k[None, :] < count[:, None]
+    tri9 = jnp.stack([
+        tris.p0.x, tris.p0.y, tris.p0.z,
+        tris.e1.x, tris.e1.y, tris.e1.z,
+        tris.e2.x, tris.e2.y, tris.e2.z], axis=-1).astype(jnp.float32)
+    g = jnp.where(valid[..., None], tri9[ti], 0.0)  # (L, SLOTS, 9)
+    leaves = jnp.concatenate([
+        g.reshape(n_leaf, SLOTS * 9),
+        start.astype(jnp.float32)[:, None],
+        count.astype(jnp.float32)[:, None]], axis=1)  # (L, 128)
+
+    # ---- internal rows --------------------------------------------------
+    left = int_ids + 1
+    rgt = right[int_ids]
+
+    def code_of(orig):
+        return jnp.where(is_int[orig], iid[orig],
+                         -(lid[orig] + 1)).astype(jnp.float32)
+
+    lc = (bvh.lo[left] + bvh.hi[left]) * 0.5
+    rc = (bvh.lo[rgt] + bvh.hi[rgt]) * 0.5
+    axis = jnp.argmax(jnp.abs(rc - lc), axis=1).astype(jnp.int32)
+    l_low = jnp.take_along_axis(lc, axis[:, None], 1)[:, 0] <= \
+        jnp.take_along_axis(rc, axis[:, None], 1)[:, 0]
+    ab = (axis | jnp.where(l_low, 4, 0)).astype(jnp.float32)
+    nodes = jnp.concatenate([
+        bvh.lo[left].astype(jnp.float32), bvh.hi[left].astype(jnp.float32),
+        bvh.lo[rgt].astype(jnp.float32), bvh.hi[rgt].astype(jnp.float32),
+        code_of(left)[:, None], code_of(rgt)[:, None], ab[:, None],
+        jnp.zeros((n_int, 1), jnp.float32)], axis=1)  # (I, 16)
+    return nodes, leaves
+
+
+def _init_code(bvh: BVH) -> int:
+    """Host-static root code (0 = first internal, ~leaf_row otherwise).
+
+    Under jit trace the arrays are abstract; a single-leaf root can only
+    occur for scenes with <= leaf_max triangles, which the dispatch
+    routes to the brute kernel — so an internal root (code 0) is the
+    only traced case.
+    """
+    import numpy as np
+    if isinstance(bvh.right, jax.core.Tracer):
+        return 0
+    # np.asarray BEFORE indexing: jnp indexing on a constant inside a jit
+    # trace would lift it to a tracer
+    if int(np.asarray(bvh.right)[0]) >= 0:
+        return 0
+    return -1  # root is leaf row 0
+
+
+def traverse_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
+                    any_hit: bool = False, interpret: bool = False,
+                    ray_sub: int = RAY_SUB) -> Hit:
+    """Packet traversal over the whole ray batch (grid over ray blocks).
+
+    t_init seeds the per-ray search radius: +BIG_T for closest-hit, the
+    segment length for any-hit (occluded iff a triangle id is recorded).
+    """
+    n = o.x.shape[0]
+    ray_block = ray_sub * RAY_LANE
+    nodes, leaves = pack_tables(bvh, tris)
+    init_code = _init_code(bvh)
+    n_nodes = bvh.right.shape[0]
+    pad = (-n) % ray_block
+    n_pad = n + pad
+
+    def grid2d(x, fill=0.0):
+        x = jnp.pad(x.astype(jnp.float32), (0, pad), constant_values=fill)
+        return x.reshape(n_pad // RAY_LANE, RAY_LANE)
+
+    # pad lanes get t_init = -1: `t_entry < t_best` is false forever
+    t0 = jnp.pad(jnp.broadcast_to(t_init, (n,)).astype(jnp.float32),
+                 (0, pad), constant_values=-1.0)
+    t0 = t0.reshape(n_pad // RAY_LANE, RAY_LANE)
+
+    n_blocks = n_pad // ray_block
+    grid_rows = n_pad // RAY_LANE
+    kernel = functools.partial(
+        _kernel, init_code=init_code, max_iters=4 * n_nodes + 64,
+        any_hit=any_hit, ray_sub=ray_sub)
+    blk = pl.BlockSpec((ray_sub, RAY_LANE), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole-table, resident
+    out_shapes = (
+        jax.ShapeDtypeStruct((grid_rows, RAY_LANE), jnp.float32),
+        jax.ShapeDtypeStruct((grid_rows, RAY_LANE), jnp.int32),
+        jax.ShapeDtypeStruct((grid_rows, RAY_LANE), jnp.float32),
+        jax.ShapeDtypeStruct((grid_rows, RAY_LANE), jnp.float32),
+    )
+    t, tri, u, v = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[tab, tab] + [blk] * 7,
+        out_specs=(blk, blk, blk, blk),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((MAX_STACK * ray_sub, RAY_LANE), jnp.float32),
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(nodes, leaves,
+      grid2d(o.x), grid2d(o.y), grid2d(o.z),
+      grid2d(d.x), grid2d(d.y, 1.0), grid2d(d.z), t0)
+    return Hit(t.reshape(-1)[:n], tri.reshape(-1)[:n],
+               u.reshape(-1)[:n], v.reshape(-1)[:n])
+
+
+def closest_hit_packet(bvh: BVH, tris: Triangles, o: V3, d: V3,
+                       interpret: bool = False) -> Hit:
+    n = o.x.shape[0]
+    # misses keep t = BIG_T (t_init) and tri = -1, matching intersect.Hit
+    return traverse_packet(bvh, tris, o, d,
+                           jnp.full(n, BIG_T, jnp.float32),
+                           any_hit=False, interpret=interpret)
+
+
+def any_hit_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, max_t,
+                   interpret: bool = False) -> jax.Array:
+    h = traverse_packet(bvh, tris, o, d, max_t, any_hit=True,
+                        interpret=interpret)
+    return h.tri >= 0
+
+
+def table_bytes(bvh: BVH, tris: Triangles) -> int:
+    """VMEM footprint of the resident tables (every row is padded to 128
+    lanes = 512 B by Mosaic; guard for the dispatch)."""
+    b = bvh.right.shape[0]
+    return (b + 1) * 512  # I + L = B rows total
+
+
+def usable(bvh: BVH) -> bool:
+    """Static dispatch guard: leaf rows hold at most SLOTS triangles."""
+    return bvh.leaf_max <= SLOTS

@@ -363,9 +363,15 @@ def load_scene(scene_dir: str, build_bvh: bool = True) -> Scene:
     bvh = None
     if build_bvh and len(tp):
         # native C++ binned-SAH builder when available (identical array
-        # contract), Python builder as fallback/oracle
+        # contract), Python builder as fallback/oracle.  Leaf size grows
+        # with scene size: the TPU packet kernel prefers fewer, fatter
+        # leaves (dense MT tests are near-free on the VPU; node visits
+        # carry scalar-control overhead), and VMEM must hold the node
+        # table alongside the triangle table.
         from ..geometry.bvh_native import build as bvh_build
-        bvh, order = bvh_build(tp)
+        # 14 = the most triangle slots (9 floats each) that fit one
+        # 128-lane leaf row of the packet kernel's VMEM layout
+        bvh, order = bvh_build(tp, max_leaf=14)
         triangles = _reorder(triangles, order)
         # light table indexes triangles: remap
         inv = np.empty(len(order), np.int64)
