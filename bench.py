@@ -99,16 +99,70 @@ jax.block_until_ready(sc2.materials.albedo.x)
 dt = time.perf_counter() - t0
 out["fwdbwd_pps"] = bw * bh * steps / dt
 
+# ---------------- bathroom forward (BVH-scene north star) --------------
+if on_tpu:
+    sb = load_scene("/root/reference/RTBase/bathroom")
+    cfgb = RenderConfig(mis=True, jitter=True, max_depth=4)
+    # warmup with the SAME spp so the chunk shapes (and thus compiles)
+    # match the timed region exactly
+    fb = render(sb, cfgb, spp=2)
+    jax.block_until_ready(fb.buffer)
+    t0 = time.perf_counter()
+    fb = render(sb, cfgb, spp=2, film=fb)
+    jax.block_until_ready(fb.buffer)
+    dt = time.perf_counter() - t0
+    hb, wb2 = sb.camera.height, sb.camera.width
+    out["bathroom_fwd_pps"] = hb * wb2 * 2 / dt
+    out["bathroom_vs_baseline"] = out["bathroom_fwd_pps"] / 250e3
+
 print(json.dumps(out))
 """
 
+_SCALING_CHILD = r"""
+import json, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from raytracingrenderer_tpu.config import RenderConfig
+from raytracingrenderer_tpu.parallel.mesh import make_mesh, render_sharded
+from raytracingrenderer_tpu.render import specialize_config
+from raytracingrenderer_tpu.scene.loader import load_scene
+from raytracingrenderer_tpu.scene.types import Camera
 
-def _run(env_extra, timeout):
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+scene = load_scene("/root/reference/RTBase/cornell-box")
+c = scene.camera
+scene = scene._replace(camera=Camera(c.p, c.p_inv, c.cam_to_world,
+                                     c.world_to_cam, 128, 128, c.origin,
+                                     c.a_film))
+cfg = specialize_config(RenderConfig(mis=True, jitter=True, max_depth=4),
+                        scene)
+res = {}
+for nd in (1, 2, 4, 8):
+    mesh = make_mesh(nd)
+    img = render_sharded(scene, jax.random.PRNGKey(0), cfg, mesh)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for i in range(3):
+        img = render_sharded(scene, jax.random.PRNGKey(i), cfg, mesh)
+    jax.block_until_ready(img)
+    res[str(nd)] = 128 * 128 * 3 / (time.perf_counter() - t0)
+base = res["1"]
+# On the virtual CPU mesh one device already saturates the host cores
+# (XLA CPU is itself multi-threaded), so per-device efficiency is
+# meaningless; total-throughput ratio vs 1 device isolates the SPMD
+# partitioning overhead (ideal ~1.0).
+print(json.dumps({f"scaling_tput_ratio_{k}dev": round(v / base, 3)
+                  for k, v in res.items()}))
+"""
+
+
+def _run(env_extra, timeout, code=None):
     env = dict(os.environ, **env_extra)
     try:
         out = subprocess.run(
-            [sys.executable, "-c", _CHILD], env=env, timeout=timeout,
-            capture_output=True, text=True,
+            [sys.executable, "-c", code or _CHILD], env=env,
+            timeout=timeout, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         for line in reversed(out.stdout.strip().splitlines()):
             if line.startswith("{"):
@@ -134,6 +188,14 @@ def main():
     backend = result.pop("backend", "unknown")
     if backend != "tpu" and not metric.endswith("fallback"):
         metric += "_" + backend
+    # device-count scaling efficiency on the virtual CPU mesh (no
+    # multi-chip hardware available; measures SPMD partitioning overhead)
+    scaling = _run(
+        {"XLA_FLAGS": os.environ.get("XLA_FLAGS", "")
+         + " --xla_force_host_platform_device_count=8"},
+        timeout=240, code=_SCALING_CHILD)
+    if scaling:
+        result.update(scaling)
     extras = {k: round(v, 1) if isinstance(v, float) else v
               for k, v in result.items()}
     print(json.dumps({

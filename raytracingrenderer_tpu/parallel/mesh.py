@@ -49,3 +49,21 @@ def shard_rows(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     s = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+_SHARDED_CACHE = {}
+
+
+def render_sharded(scene, key, cfg, mesh: Mesh):
+    """One SPMD sample pass over `mesh`: scene replicated, image rows
+    sharded across the `rays` axis (jit-cached per mesh+cfg)."""
+    from ..render import sample_image, specialize_config
+    cfg = specialize_config(cfg, scene)
+    ck = (tuple(d.id for d in mesh.devices.flat), cfg)
+    fn = _SHARDED_CACHE.get(ck)
+    if fn is None:
+        fn = jax.jit(
+            lambda sc, k: sample_image(sc, k, cfg),
+            out_shardings=NamedSharding(mesh, P(RAY_AXIS, None, None)))
+        _SHARDED_CACHE[ck] = fn
+    return fn(replicate(mesh, scene), key)
