@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-height", type=int, default=0)
     p.add_argument("-denoise", action="store_true",
                    help="edge-aware denoise of the final image")
+    p.add_argument("-sceneShards", type=int, default=0,
+                   help="shard the BVH + triangle geometry over this "
+                        "many devices (beyond-HBM scenes); 0 = replicate")
     return p
 
 
@@ -63,8 +66,17 @@ def main(argv=None) -> int:
     from .utils.log import get_logger
 
     log = get_logger("cli")
+    # multi-host bootstrap (no-op single-process; on pods the standard
+    # env vars autodetect the cluster — SURVEY §2.11 comms backend row)
+    from .parallel.distributed import init_distributed
+    init_distributed()
     t0 = time.time()
-    scene = load_scene(args.scene)
+    scene = load_scene(args.scene, scene_shards=args.sceneShards)
+    if args.sceneShards:
+        from .parallel.mesh import make_mesh
+        from .parallel.scene_shard import place_sharded
+        scene = scene._replace(bvh=place_sharded(
+            scene.bvh, make_mesh(args.sceneShards)))
     if args.width or args.height:
         from .scene.types import Camera
         c = scene.camera
@@ -90,6 +102,7 @@ def main(argv=None) -> int:
 
     def on_sample(s, f):
         f.buffer.block_until_ready()  # honest per-frame timing
+        state["film"] = f  # survives a time-budget interrupt
         now = time.time()
         dt = now - state["t_last"]
         state["t_last"] = now
@@ -117,6 +130,10 @@ def main(argv=None) -> int:
                                on_sample=on_sample)
     except StopIteration:
         log.info("time budget reached")
+        film = state.get("film", film)
+    if film is None:
+        log.error("no samples rendered before the budget expired")
+        return 1
 
     img = np.asarray(film_mod.to_hdr(film))
     if args.denoise:

@@ -233,9 +233,11 @@ def _traverse_stackless(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
                1.0 / jnp.where(jnp.abs(d.z) < 1e-20, 1e-20, d.z))
 
     max_iters = 2 * b + 2
-    init = (jnp.int32(0), jnp.zeros(n, jnp.int32),
-            Hit(t_init, jnp.full(n, -1, jnp.int32),
-                jnp.zeros(n), jnp.zeros(n)))
+    # derive carries from the ray arrays (not fresh constants) so their
+    # device-varying axes match under shard_map
+    init = (jnp.int32(0), jnp.zeros_like(o.x).astype(jnp.int32),
+            Hit(t_init, jnp.full_like(o.x, -1.0).astype(jnp.int32),
+                jnp.zeros_like(o.x), jnp.zeros_like(o.x)))
 
     def cond(state):
         it, node, best = state
@@ -374,6 +376,10 @@ def closest_hit(scene, o: V3, d: V3, active=None) -> Hit:
     if active is not None:
         t_init = jnp.where(jax.lax.stop_gradient(active), t_init, -1.0)
     from ..ops import bvh_kernel, mt_kernel
+    from ..parallel.scene_shard import ShardedBVH, traverse_sharded
+    if isinstance(scene.bvh, ShardedBVH):
+        h = traverse_sharded(scene.bvh, o, d, t_init)
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, h)
     if scene.bvh is not None and scene.triangles.count > 64:
         if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
             act = (jnp.ones(n, bool) if active is None
@@ -421,6 +427,10 @@ def occluded(scene, o: V3, d: V3, max_t: jax.Array) -> jax.Array:
     max_t = jax.lax.stop_gradient(max_t)
     tris = jax.lax.stop_gradient(scene.triangles)
     from ..ops import bvh_kernel, mt_kernel
+    from ..parallel.scene_shard import ShardedBVH, traverse_sharded
+    if isinstance(scene.bvh, ShardedBVH):
+        return traverse_sharded(scene.bvh, o, d, max_t,
+                                any_hit=True).tri >= 0
     if scene.bvh is not None and scene.triangles.count > 64:
         if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
             return _sorted_call(

@@ -10,13 +10,26 @@ distribution (systematic resampling — static shapes, no host sync),
 traces them, and scatter-adds radiance + counts.  Variance estimates
 refresh from the accumulated buffers every round, so allocation adapts
 progressively rather than in one phase.
+
+Cross-shard form (SURVEY §2.11 load-balancing row): under a device mesh
+each shard draws its fixed-size batch from the SAME global variance
+distribution and its scatter partials are psum-reduced back into the
+replicated state — the collective takes the place of the reference's
+shared variance array + mutex (Renderer.h:636-639).
+
+The integrator honours the Film contract: an incoming film resumes as a
+uniform-count prior, `on_sample` fires per round, and the returned film
+divides to the per-pixel mean under Film.spp like every other
+integrator.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import INIT_SAMPLES, TILE_SIZE, RenderConfig
 from ..imaging import film as film_mod
@@ -77,17 +90,83 @@ def _sample_pixels(st: AdaptiveState, key, n_rays: int,
     return px, py
 
 
+def _scatter_round(scene: Scene, st: AdaptiveState, key, cfg,
+                   n_rays: int, h: int, w: int) -> AdaptiveState:
+    """One variance-allocated batch scattered into the state."""
+    kp, kt = jax.random.split(key)
+    px, py = _sample_pixels(st, kp, n_rays, h, w)
+    radiance = _trace_pixels(scene, px, py, kt, cfg)
+    rgb = radiance.stacked()
+    lum = rgb.mean(-1)
+    return AdaptiveState(
+        st.sum1.at[py, px].add(rgb),
+        st.sum2.at[py, px].add(lum * lum),
+        st.count.at[py, px].add(1.0))
+
+
+def _sharded_round(scene: Scene, st: AdaptiveState, key, cfg,
+                   rays_per_shard: int, h: int, w: int,
+                   mesh: Mesh) -> AdaptiveState:
+    """Cross-shard round: every shard reads the SAME (replicated) global
+    variance — kept global by the psum of each round's partials, the
+    all-gather SURVEY §2.11 asks for — draws its own fixed-size batch,
+    and the per-shard scatter deltas reduce back into the state."""
+    from ..parallel.mesh import RAY_AXIS
+
+    # check_vma off: the tracer's varying-axes inference rejects the
+    # const-folded zero carries inside the intersection scan even though
+    # every lane-varying input is device-varying here; the psum makes
+    # the result well-defined regardless.
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(), check_vma=False)
+    def run(st: AdaptiveState, key) -> AdaptiveState:
+        idx = jax.lax.axis_index(RAY_AXIS)
+        k = jax.random.fold_in(key, idx)
+        new = _scatter_round(scene, st, k, cfg, rays_per_shard, h, w)
+        delta = jax.tree_util.tree_map(lambda a, b: a - b, new, st)
+        delta = jax.tree_util.tree_map(
+            lambda a: jax.lax.psum(a, RAY_AXIS), delta)
+        return jax.tree_util.tree_map(lambda s, d: s + d, st, delta)
+
+    return run(st, key)
+
+
+def _to_film(st: AdaptiveState) -> film_mod.Film:
+    """Express the non-uniform accumulation under the Film contract:
+    buffer/spp = per-pixel mean, spp = mean sample count."""
+    spp = jnp.maximum(st.count.mean(), 1.0)
+    mean = st.sum1 / jnp.maximum(st.count[..., None], 1.0)
+    return film_mod.Film(buffer=mean * spp, spp=spp)
+
+
 def adaptive_render(scene: Scene, cfg: RenderConfig, total_spp: int,
                     init_spp: int = INIT_SAMPLES,
-                    rounds: int = 8) -> film_mod.Film:
+                    rounds: int = 8,
+                    film: Optional[film_mod.Film] = None,
+                    on_sample: Optional[Callable] = None,
+                    mesh: Optional[Mesh] = None) -> film_mod.Film:
     """Budget = total_spp * npixels rays; init phase uniform, remainder
-    variance-allocated over `rounds` fixed-size batches."""
+    variance-allocated over `rounds` fixed-size batches (sharded over
+    `mesh` when given).  An incoming `film` resumes as a uniform-count
+    prior; `on_sample` fires after every init pass and round."""
     cam = scene.camera
     h, w = cam.height, cam.width
     base = jax.random.PRNGKey(cfg.seed)
 
-    st = AdaptiveState(sum1=jnp.zeros((h, w, 3)), sum2=jnp.zeros((h, w)),
-                       count=jnp.zeros((h, w)))
+    if film is not None and float(film.spp) > 0:
+        prior = jnp.full((h, w), jnp.float32(film.spp))
+        mean = film.buffer / jnp.maximum(film.spp, 1.0)
+        st = AdaptiveState(sum1=jnp.asarray(film.buffer),
+                           sum2=(mean.mean(-1) ** 2) * prior,
+                           count=prior)
+        start = int(film.spp)
+    else:
+        st = AdaptiveState(sum1=jnp.zeros((h, w, 3)),
+                           sum2=jnp.zeros((h, w)),
+                           count=jnp.zeros((h, w)))
+        start = 0
 
     @jax.jit
     def init_pass(st: AdaptiveState, key) -> AdaptiveState:
@@ -97,26 +176,30 @@ def adaptive_render(scene: Scene, cfg: RenderConfig, total_spp: int,
         return AdaptiveState(st.sum1 + img, st.sum2 + lum * lum,
                              st.count + 1.0)
 
+    step = start
     for s in range(init_spp):
-        st = init_pass(st, rng.spp_key(base, s))
+        st = init_pass(st, rng.spp_key(base, start + s))
+        step += 1
+        if on_sample is not None:
+            on_sample(step - 1, _to_film(st))
 
     budget = max(total_spp - init_spp, 0) * h * w
     round_rays = max(budget // max(rounds, 1), 0)
     if round_rays:
-        @jax.jit
-        def adapt_pass(st: AdaptiveState, key) -> AdaptiveState:
-            kp, kt = jax.random.split(key)
-            px, py = _sample_pixels(st, kp, round_rays, h, w)
-            radiance = _trace_pixels(scene, px, py, kt, cfg)
-            rgb = radiance.stacked()
-            lum = rgb.mean(-1)
-            return AdaptiveState(
-                st.sum1.at[py, px].add(rgb),
-                st.sum2.at[py, px].add(lum * lum),
-                st.count.at[py, px].add(1.0))
-
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            per_shard = -(-round_rays // n_dev)
+            adapt = jax.jit(functools.partial(
+                _sharded_round, scene, cfg=cfg,
+                rays_per_shard=per_shard, h=h, w=w, mesh=mesh))
+        else:
+            adapt = jax.jit(functools.partial(
+                _scatter_round, scene, cfg=cfg, n_rays=round_rays,
+                h=h, w=w))
         for r in range(rounds):
-            st = adapt_pass(st, rng.spp_key(base, 10_000 + r))
+            st = adapt(st, key=rng.spp_key(base, 10_000 + start + r))
+            step += 1
+            if on_sample is not None:
+                on_sample(step - 1, _to_film(st))
 
-    img = st.sum1 / jnp.maximum(st.count[..., None], 1.0)
-    return film_mod.Film(buffer=img, spp=jnp.float32(1.0))
+    return _to_film(st)

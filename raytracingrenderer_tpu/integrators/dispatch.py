@@ -27,7 +27,8 @@ def render_with(scene: Scene, cfg: RenderConfig, spp: int,
 
     if cfg.integrator == "adaptive":
         from .adaptive import adaptive_render
-        return adaptive_render(scene, cfg, total_spp=spp)
+        return adaptive_render(scene, cfg, total_spp=spp, film=film,
+                               on_sample=on_sample)
 
     if cfg.integrator in ("direct", "albedo", "normals"):
         from . import aov

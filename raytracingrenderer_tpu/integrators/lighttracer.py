@@ -51,9 +51,17 @@ def _connect(scene: Scene, film_buf, p: V3, n: V3, col: V3, active):
 
 
 def light_trace_pass(scene: Scene, film: film_mod.Film, key,
-                     cfg: RenderConfig, n_paths: int) -> film_mod.Film:
+                     cfg: RenderConfig, n_paths: int,
+                     mesh=None) -> film_mod.Film:
     """One pass of n_paths light paths; increments film spp by 1 (the
-    reference shoots width*height paths per frame, Renderer.h:222-229)."""
+    reference shoots width*height paths per frame, Renderer.h:222-229).
+
+    With `mesh`, the path axis is sharded across its `rays` axis and the
+    film stays replicated: XLA partitions the whole bounce scan SPMD and
+    reduces the per-shard scatter-add partials with an inserted psum —
+    the sharded-film-accumulation design SURVEY §2.11 calls for (the
+    reference must run this single-threaded because its splats race,
+    Renderer.h:223-229)."""
     n_area = scene.num_lights
     buf = film.buffer
     if n_area == 0:
@@ -94,6 +102,16 @@ def light_trace_pass(scene: Scene, film: film_mod.Film, key,
     state = dict(o=p + wi * EPSILON, d=wi,
                  throughput=V3.full(n, 1.0, 1.0, 1.0),
                  alive=jnp.ones(n, bool), buf=buf)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import RAY_AXIS
+        ray_s = NamedSharding(mesh, P(RAY_AXIS))
+        rep = NamedSharding(mesh, P())
+        state = {k: (jax.lax.with_sharding_constraint(v, rep)
+                     if k == "buf" else jax.tree_util.tree_map(
+                         lambda a: jax.lax.with_sharding_constraint(
+                             a, ray_s), v))
+                 for k, v in state.items()}
 
     def bounce(state, depth):
         o, d, beta = state["o"], state["d"], state["throughput"]

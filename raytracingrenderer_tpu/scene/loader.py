@@ -223,8 +223,16 @@ class _MaterialBuilder:
             coat_ext_ior=jnp.asarray(col("coat_ext_ior"), jnp.float32))
 
 
-def load_scene(scene_dir: str, build_bvh: bool = True) -> Scene:
-    """Load a reference-format scene directory into a Scene pytree."""
+def load_scene(scene_dir: str, build_bvh: bool = True,
+               scene_shards: int = 0) -> Scene:
+    """Load a reference-format scene directory into a Scene pytree.
+
+    scene_shards > 0 builds the primitive-sharded acceleration form
+    (parallel/scene_shard.py): the triangle order is globally
+    SAH-sorted, chunked into that many shards, each with its own
+    sub-BVH, and geometry.intersect traverses per shard under shard_map
+    — the beyond-HBM scale-out path of SURVEY §2.11.
+    """
     with open(os.path.join(scene_dir, "scene.json")) as f:
         desc = json.load(f)
 
@@ -361,7 +369,15 @@ def load_scene(scene_dir: str, build_bvh: bool = True) -> Scene:
         origin=V3.of(*origin), a_film=jnp.float32(a_film))
 
     bvh = None
-    if build_bvh and len(tp):
+    if build_bvh and len(tp) and scene_shards > 0:
+        from ..parallel.scene_shard import build_sharded
+        bvh, order = build_sharded(tp, scene_shards, max_leaf=14)
+        triangles = _reorder_padded(triangles, order)
+        inv = np.empty(len(tp), np.int64)
+        inv[order[order >= 0]] = np.nonzero(order >= 0)[0]
+        lights = lights._replace(tri=jnp.asarray(inv[np.asarray(light_tri)],
+                                                 jnp.int32))
+    elif build_bvh and len(tp):
         # native C++ binned-SAH builder when available (identical array
         # contract), Python builder as fallback/oracle.  Leaf size grows
         # with scene size: the TPU packet kernel prefers fewer, fatter
@@ -383,6 +399,24 @@ def load_scene(scene_dir: str, build_bvh: bool = True) -> Scene:
                  textures=tex.build_atlas(), lights=lights,
                  background=background, camera=camera, bounds=bounds,
                  bvh=bvh)
+
+
+def _reorder_padded(t: Triangles, order: np.ndarray) -> Triangles:
+    """Reorder with -1 slots mapped to degenerate (never-hit) padding
+    triangles: zero geometry, material 0, no light."""
+    safe = np.where(order >= 0, order, 0)
+    out = _reorder(t, safe)
+    pad = jnp.asarray(order < 0)
+
+    def zv(v):
+        return V3(jnp.where(pad, 0.0, v.x), jnp.where(pad, 0.0, v.y),
+                  jnp.where(pad, 0.0, v.z))
+
+    return out._replace(
+        p0=zv(out.p0), e1=zv(out.e1), e2=zv(out.e2),
+        area=jnp.where(pad, 0.0, out.area),
+        mat_id=jnp.where(pad, 0, out.mat_id),
+        light_id=jnp.where(pad, -1, out.light_id))
 
 
 def _reorder(t: Triangles, order: np.ndarray) -> Triangles:

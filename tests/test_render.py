@@ -138,3 +138,33 @@ class TestEnvmapSceneConsistency:
             f = render(sc, cfg, spp=24)
             means[tag] = float(np.asarray(film_mod.to_hdr(f)).mean())
         assert means["mis"] == pytest.approx(means["nee"], rel=0.08), means
+
+
+class TestAdaptiveContract:
+    """Film/resume/on_sample semantics + the cross-shard round
+    (SURVEY §2.11 load-balancing row, Renderer.h:583-749)."""
+
+    def test_sharded_adaptive_matches_uniform(self, scene, path_img):
+        from raytracingrenderer_tpu.integrators.adaptive import (
+            adaptive_render)
+        from raytracingrenderer_tpu.parallel.mesh import make_mesh
+        cfg = RenderConfig(integrator="adaptive", jitter=True, max_depth=3)
+        f = adaptive_render(scene, cfg, total_spp=8, mesh=make_mesh(8))
+        img = np.asarray(film_mod.to_hdr(f))
+        assert np.isfinite(img).all()
+        mask = path_img.mean(-1) < 1.0
+        ratio = img.mean(-1)[mask].mean() / path_img.mean(-1)[mask].mean()
+        assert 0.8 < ratio < 1.2, ratio
+
+    def test_adaptive_resume_and_on_sample(self, scene):
+        from raytracingrenderer_tpu.integrators.adaptive import (
+            adaptive_render)
+        cfg = RenderConfig(integrator="adaptive", jitter=True, max_depth=2)
+        seen = []
+        f1 = render(scene, RenderConfig(jitter=True, max_depth=2), spp=2)
+        f2 = adaptive_render(scene, cfg, total_spp=4, film=f1,
+                             on_sample=lambda s, f: seen.append(s))
+        assert float(f2.spp) > float(f1.spp)  # prior counts + new work
+        assert len(seen) >= 2  # init passes and rounds both reported
+        img = np.asarray(film_mod.to_hdr(f2))
+        assert np.isfinite(img).all() and img.mean() > 0.01
