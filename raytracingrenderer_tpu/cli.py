@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-sceneShards", type=int, default=0,
                    help="shard the BVH + triangle geometry over this "
                         "many devices (beyond-HBM scenes); 0 = replicate")
+    p.add_argument("-interactive", action="store_true",
+                   help="fly-camera loop on stdin (reference Main.cpp "
+                        "main loop: keys move + clear film, p/l save)")
+    p.add_argument("-keys", default="",
+                   help="scripted interactive session: comma-separated "
+                        "keys applied between render ticks")
     return p
 
 
@@ -91,6 +97,20 @@ def main(argv=None) -> int:
     cfg = RenderConfig(spp=args.SPP, max_depth=args.maxDepth,
                        mis=not args.noMIS, jitter=not args.noJitter,
                        integrator=args.integrator, seed=args.seed)
+
+    if args.interactive or args.keys:
+        from .interactive import run_scripted, run_stdin
+        out_base = args.outputFilename.rsplit(".", 1)[0]
+        if args.keys:
+            s = run_scripted(scene, args.scene, cfg, args.keys,
+                             output=out_base)
+        else:
+            s = run_stdin(scene, args.scene, cfg, output=out_base)
+        img = np.asarray(film_mod.to_hdr(s.film))
+        write_hdr(args.outputFilename, img)
+        log.info("wrote %s (%d spp, mean %.4f)", args.outputFilename,
+                 s.spp, float(img.mean()))
+        return 0
 
     film = None
     if args.checkpoint:

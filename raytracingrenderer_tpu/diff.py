@@ -27,20 +27,41 @@ from .scene.types import Scene
 
 
 def _split_scene(scene: Scene):
-    """Split the scene into (differentiable params, static rest)."""
+    """Split the scene into (differentiable params, static rest).
+
+    Parameter surface: material albedo/emission/roughness, light
+    radiance, and (when present) the environment-map texel radiance.
+    Roughness gradients flow through the reparameterized GGX sample
+    (wi is a smooth function of alpha) plus the eval/pdf terms; envmap
+    gradients flow through the radiance gather while its alias/pdf
+    tables stay a fixed (detached) sampling distribution — the standard
+    unbiased detached-light-sampling estimator.
+    """
     params = dict(
         albedo=scene.materials.albedo,
         emission=scene.materials.emission,
+        alpha=scene.materials.alpha,
         light_le=scene.lights.le,
     )
+    env = getattr(scene.background, "envmap", None)
+    if env is not None:
+        params["env_data"] = env.data
     return params, scene
 
 
 def _merge_scene(params, scene: Scene) -> Scene:
     mats = scene.materials._replace(albedo=params["albedo"],
-                                    emission=params["emission"])
+                                    emission=params["emission"],
+                                    alpha=params["alpha"])
     lights = scene.lights._replace(le=params["light_le"])
-    return scene._replace(materials=mats, lights=lights)
+    out = scene._replace(materials=mats, lights=lights)
+    if "env_data" in params:
+        env = scene.background.envmap._replace(data=params["env_data"])
+        bg = scene.background
+        from .scene.types import make_background
+        out = out._replace(background=make_background(bg.kind, bg.colour,
+                                                      env))
+    return out
 
 
 def render_loss(params, scene: Scene, target: jax.Array, key,

@@ -69,7 +69,9 @@ def ggx_sample_half(r1, r2, alpha) -> V3:
     r1 = jnp.clip(r1, 0.0, 1.0 - 1e-7)
     tan2 = (alpha * alpha) * r1 / (1.0 - r1)
     cos_t = jax.lax.rsqrt(1.0 + tan2)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    # lower clamp: sqrt'(0) = inf would turn the (zero) d/d-alpha chain
+    # term into NaN at r1 = 0 under reverse mode (inf * 0)
+    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 1e-20, 1.0))
     phi = 2.0 * jnp.pi * r2
     return V3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
 

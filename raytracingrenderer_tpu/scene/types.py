@@ -7,8 +7,12 @@ structure-of-arrays buffers that is passed as an argument into jitted
 render functions: triangles as SoA component arrays, materials as an
 enum-tagged parameter table, lights as an index table, the BVH as
 flattened contiguous arrays.  Every leaf is a JAX array, so the scene is
-shardable, donate-able, and differentiable (gradients w.r.t. vertex
-positions, material parameters, light emission all flow).
+shardable and donate-able; the differentiable parameter surface is
+material albedo/emission/roughness, light radiance, and envmap texels
+(diff._split_scene).  Vertex positions are NOT differentiable: hit
+structure is stop-gradiented discrete state under the detached-sampling
+estimator (geometry grads need a boundary-aware/reparameterized
+estimator — out of scope).
 """
 from __future__ import annotations
 

@@ -44,3 +44,70 @@ class TestCornellRegression:
         # 48 spp of jittered MIS vs the 144-spp centre-sampled reference,
         # both box-downsampled: residual MC noise caps the correlation.
         assert corr > 0.96, corr
+
+
+@pytest.mark.slow
+class TestRegressionBreadth:
+    """The rest of the reference's committed artifacts.
+
+    Findings from reading the artifacts themselves (all verifiable with
+    io.hdr.read_hdr):
+    - result_1/3/4.hdr (1024^2) are cornell-box-class renders (mean
+      0.1184 == result_144's converged mean), NOT bathroom-class as
+      their spp-at-10s naming might suggest -> regressed here.
+    - result_44/47/50.hdr (1280x720) are MaterialsScene renders made
+      with `qwantani_mid_morning_4k.hdr`, which is ABSENT from the repo
+      (scene.json names it; SURVEY §2.8).  Rendering the shipped scene
+      (reference-parity white 1x1 fallback) correlates at 0.004 with
+      them — the asset, not the renderer, is missing, so exact
+      regression is impossible; MaterialsScene is covered by an e2e
+      behavioral test instead.
+    - GI.hdr is all zeros (a default-named empty output, not ground
+      truth); asserted below so the gap is documented, not overlooked.
+    """
+
+    def test_matches_result_1_3_4(self):
+        sc = load_scene(ref_path("cornell-box"))
+        c = sc.camera
+        res = 128
+        sc = sc._replace(camera=Camera(c.p, c.p_inv, c.cam_to_world,
+                                       c.world_to_cam, res, res, c.origin,
+                                       c.a_film))
+        cfg = RenderConfig(mis=True, jitter=True, max_depth=4)
+        f = render(sc, cfg, spp=32)
+        ours = np.asarray(film_mod.to_hdr(f))
+        k = 1024 // res
+        for name in ("result_1", "result_3", "result_4"):
+            ref = read_hdr(ref_path(f"{name}.hdr"))
+            ref_ds = ref.reshape(res, k, res, k, 3).mean(axis=(1, 3))
+            mask = ref_ds.mean(-1) < 1.0
+            ratio = np.median(ours.mean(-1)[mask]
+                              / np.maximum(ref_ds.mean(-1)[mask], 1e-6))
+            corr = np.corrcoef(ours.mean(-1)[mask],
+                               ref_ds.mean(-1)[mask])[0, 1]
+            assert 0.9 < ratio < 1.1, (name, ratio)
+            assert corr > 0.93, (name, corr)
+
+    def test_materials_scene_end_to_end(self):
+        """All six shipped material classes render finite and lit under
+        the reference's missing-texture fallback (Imaging.h:24-31)."""
+        sc = load_scene(ref_path("MaterialsScene"))
+        from raytracingrenderer_tpu.scene.types import (
+            MAT_CONDUCTOR, MAT_DIFFUSE, MAT_GLASS, MAT_MIRROR,
+            MAT_OREN_NAYAR, MAT_PLASTIC)
+        kinds = set(np.asarray(sc.materials.mtype).tolist())
+        assert {MAT_CONDUCTOR, MAT_OREN_NAYAR, MAT_GLASS, MAT_MIRROR,
+                MAT_PLASTIC, MAT_DIFFUSE} <= kinds
+        c = sc.camera
+        sc = sc._replace(camera=Camera(c.p, c.p_inv, c.cam_to_world,
+                                       c.world_to_cam, 160, 90, c.origin,
+                                       c.a_film))
+        cfg = RenderConfig(mis=True, jitter=True, max_depth=3)
+        f = render(sc, cfg, spp=4)
+        img = np.asarray(film_mod.to_hdr(f))
+        assert np.isfinite(img).all()
+        assert 0.05 < img.mean() < 10.0
+
+    def test_gi_hdr_is_empty_artifact(self):
+        img = read_hdr(ref_path("GI.hdr"))
+        assert float(np.abs(img).max()) == 0.0
