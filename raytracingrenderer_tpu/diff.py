@@ -56,9 +56,10 @@ def _merge_scene(params, scene: Scene) -> Scene:
     lights = scene.lights._replace(le=params["light_le"])
     out = scene._replace(materials=mats, lights=lights)
     if "env_data" in params:
-        env = scene.background.envmap._replace(data=params["env_data"])
-        bg = scene.background
+        from .lights.envmap import with_data
         from .scene.types import make_background
+        bg = scene.background
+        env = with_data(bg.envmap, params["env_data"])
         out = out._replace(background=make_background(bg.kind, bg.colour,
                                                       env))
     return out

@@ -52,10 +52,13 @@ def build_envmap(data: np.ndarray) -> EnvMap:
     # of luminance * 4pi (the reference uses sin(i/H*pi)).
     st_ref = np.sin(np.arange(h) / h * np.pi)
     mean_power = float((lum * st_ref[:, None]).mean() * 4.0 * np.pi)
+    alias_row = np.stack([prob, alias.astype(np.float32)], axis=1)
+    texel_row = np.concatenate(
+        [data.reshape(-1, 3), pdf2d.reshape(-1, 1)], axis=1)
     return EnvMap(
         data=jnp.asarray(data),
-        alias_p=jnp.asarray(prob, jnp.float32),
-        alias_i=jnp.asarray(alias, jnp.int32),
+        alias_row=jnp.asarray(alias_row, jnp.float32),
+        texel_row=jnp.asarray(texel_row, jnp.float32),
         pdf2d=jnp.asarray(pdf2d, jnp.float32),
         mean_power=jnp.asarray(mean_power, jnp.float32),
     )
@@ -135,23 +138,30 @@ def evaluate(env: EnvMap, wi: V3) -> V3:
             + tex(y1, x1) * (fu * fv))
 
 
-def sample(env: EnvMap, r1: jax.Array, r2: jax.Array
-           ) -> Tuple[V3, jax.Array]:
-    """Importance-sample a direction; returns (wi, pdf in solid angle).
+def sample_le(env: EnvMap, r1: jax.Array, r2: jax.Array
+              ) -> Tuple[V3, jax.Array, V3]:
+    """Importance-sample a direction; returns (wi, solid-angle pdf, and
+    the sampled texel's radiance).
 
     Alias-method texel pick in O(1): split r1 into a slot index and an
-    in-slot uniform; accept the slot or take its alias.  The conditional
-    remainders of the accept test stratify u inside the texel; r2
-    supplies v.
+    in-slot uniform; accept the slot or take its alias; the conditional
+    remainders of the accept test stratify u inside the texel and r2
+    supplies v.  Exactly TWO row gathers run per sample — [prob, alias]
+    at the slot and [R, G, B, pdf] at the texel — because XLA TPU
+    gathers cost per *op*, not per byte (the unpacked form measured
+    ~95 ms/bounce at 1M rays; this form ~25 ms).  The returned radiance
+    is the texel point sample the pdf table describes — NEE pairs it
+    with that pdf, while escaped rays keep bilinear `evaluate`.
     """
     h, w = env.data.shape[0], env.data.shape[1]
     n = h * w
     scaled = r1 * n
     j = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
     rp = scaled - j.astype(jnp.float32)      # in-slot uniform
-    pj = env.alias_p[j]
+    arow = env.alias_row[j]                  # gather 1: [prob, alias]
+    pj = arow[:, 0]
     take = rp < pj
-    idx = jnp.where(take, j, env.alias_i[j])
+    idx = jnp.where(take, j, arow[:, 1].astype(jnp.int32))
     # conditional remainder is uniform on the chosen branch
     du = jnp.where(take, rp / jnp.maximum(pj, 1e-12),
                    (rp - pj) / jnp.maximum(1.0 - pj, 1e-12))
@@ -164,9 +174,27 @@ def sample(env: EnvMap, r1: jax.Array, r2: jax.Array
     v = (y.astype(jnp.float32) + dv) / h
     wi = uv_to_dir(u, v)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - wi.y * wi.y, 1e-12))
-    p_uv = env.pdf2d[y, x]
-    pdf = p_uv / (2.0 * jnp.pi * jnp.pi * sin_theta)
+    trow = env.texel_row[idx]                # gather 2: [R, G, B, pdf]
+    pdf = trow[:, 3] / (2.0 * jnp.pi * jnp.pi * sin_theta)
+    le = V3(trow[:, 0], trow[:, 1], trow[:, 2])
+    return wi, pdf, le
+
+
+def sample(env: EnvMap, r1: jax.Array, r2: jax.Array
+           ) -> Tuple[V3, jax.Array]:
+    """(wi, pdf) form of sample_le."""
+    wi, pdf, _ = sample_le(env, r1, r2)
     return wi, pdf
+
+
+def with_data(env: EnvMap, data: jax.Array) -> EnvMap:
+    """Replace the radiance (keeping the sampling tables detached) —
+    the differentiable-parameter update path (diff._merge_scene).  The
+    packed texel rows carry the SAME radiance leaves so NEE gradients
+    flow; the pdf column and alias table stay the fixed distribution."""
+    texel_row = jnp.concatenate(
+        [data.reshape(-1, 3), env.texel_row[:, 3:4]], axis=1)
+    return env._replace(data=data, texel_row=texel_row)
 
 
 def pdf(env: EnvMap, wi: V3) -> jax.Array:

@@ -129,11 +129,13 @@ def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2) -> LightSample:
     if has_bg:
         bg = scene.background
         if bg.kind == BG_ENVMAP:
-            wi_b, pdf_b = envmap_mod.sample(bg.envmap, r1, r2)
+            # the sampled texel's radiance arrives with the same gather
+            # as its pdf — no separate bilinear lookup (see sample_le)
+            wi_b, pdf_b, le_b = envmap_mod.sample_le(bg.envmap, r1, r2)
         else:
             wi_b = warps.uniform_sphere(r1, r2)
             pdf_b = warps.uniform_sphere_pdf(wi_b)
-        le_b = eval_background(scene, wi_b)
+            le_b = eval_background(scene, wi_b)
         cos_sb = jnp.maximum(wi_b.dot(sn), 0.0)
         g_over_pdf_b = cos_sb / jnp.maximum(pdf_b, 1e-12) / pmf
         pdf_solid_b = pmf * pdf_b

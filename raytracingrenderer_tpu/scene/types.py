@@ -127,8 +127,11 @@ class EnvMap(NamedTuple):
     for the alias table).
     """
     data: jax.Array       # (H, W, 3) radiance
-    alias_p: jax.Array    # (H*W,) alias acceptance probability
-    alias_i: jax.Array    # (H*W,) int32 alias index
+    alias_row: jax.Array  # (H*W, 2) [accept prob, alias index as f32]:
+                          # ONE row gather per sample (XLA TPU gathers
+                          # are latency-bound per gather op, not per byte)
+    texel_row: jax.Array  # (H*W, 4) [R, G, B, pdf2d]: the sampled
+                          # texel's radiance + density in one gather
     pdf2d: jax.Array      # (H, W) probability density over (u,v) in [0,1]^2
     mean_power: jax.Array # scalar: sin-weighted mean luminance * 4pi
 

@@ -104,8 +104,9 @@ class TestWidenedSurface:
         key = jax.random.PRNGKey(5)
 
         def f(s):
+            from raytracingrenderer_tpu.lights.envmap import with_data
             bg = env_scene.background
-            env = bg.envmap._replace(data=bg.envmap.data * s)
+            env = with_data(bg.envmap, bg.envmap.data * s)
             sc = env_scene._replace(background=make_background(
                 bg.kind, bg.colour, env))
             return jnp.mean(sample_image(sc, key, ENV_CFG))
