@@ -40,3 +40,10 @@ class RenderConfig:
     # render() fills it in from the material table so jit only compiles
     # the BSDF lobes the scene uses (see materials/bsdf.py:_has).
     mat_types: Optional[Tuple[int, ...]] = None
+    # Rematerialized backward (SURVEY §5 "recompute/checkpointed
+    # backward"): checkpoint the bounce body saving ONLY the traversal
+    # results (hit ids/t/barycentrics + occlusion bits), so reverse-mode
+    # recomputes shading per bounce instead of holding every
+    # intermediate, and never re-traverses the BVH.  Identity for
+    # forward-only renders.
+    remat: bool = True

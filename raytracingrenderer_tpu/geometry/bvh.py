@@ -125,6 +125,7 @@ def build(tp: np.ndarray, max_leaf: int = MAX_LEAF
         emit(np.zeros(3), np.zeros(3), -1, 0, 0)
 
     right_np = np.asarray(right_list, np.int32)
+    from ..scene.types import tree_depth
     return BVH(
         lo=jnp.asarray(np.asarray(lo_list), jnp.float32),
         hi=jnp.asarray(np.asarray(hi_list), jnp.float32),
@@ -133,6 +134,7 @@ def build(tp: np.ndarray, max_leaf: int = MAX_LEAF
         count=jnp.asarray(count_list, jnp.int32),
         skip=jnp.asarray(compute_skip(right_np)),
         leaf_max=int(max((c for c in count_list), default=0)) or 1,
+        depth=tree_depth(right_np),
     ), order
 
 

@@ -85,6 +85,7 @@ def build(tp: np.ndarray, max_leaf: int = 4) -> Tuple[BVH, np.ndarray]:
         from . import bvh as py_bvh
         return py_bvh.build(tp, max_leaf)
     from .bvh import compute_skip
+    from ..scene.types import tree_depth
     return BVH(
         lo=jnp.asarray(lo[:n_nodes]), hi=jnp.asarray(hi[:n_nodes]),
         right=jnp.asarray(right[:n_nodes]),
@@ -92,4 +93,5 @@ def build(tp: np.ndarray, max_leaf: int = 4) -> Tuple[BVH, np.ndarray]:
         count=jnp.asarray(count[:n_nodes]),
         skip=jnp.asarray(compute_skip(right[:n_nodes])),
         leaf_max=int(count[:n_nodes].max()) or 1,
+        depth=tree_depth(right[:n_nodes]),
     ), order.astype(np.int64)

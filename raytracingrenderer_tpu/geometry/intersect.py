@@ -403,7 +403,13 @@ def closest_hit(scene, o: V3, d: V3, active=None) -> Hit:
                 dead = ~jax.lax.stop_gradient(active)
                 h = Hit(jnp.where(dead, BIG_T, h.t),
                         jnp.where(dead, -1, h.tri), h.u, h.v)
-    return jax.tree_util.tree_map(jax.lax.stop_gradient, h)
+    h = jax.tree_util.tree_map(jax.lax.stop_gradient, h)
+    # Residual tag for the remat policy (config.RenderConfig.remat): the
+    # checkpointed backward saves exactly these and recomputes the rest,
+    # so the BVH walk never runs twice.
+    from jax.ad_checkpoint import checkpoint_name
+    return jax.tree_util.tree_map(
+        lambda a: checkpoint_name(a, "ray_hit"), h)
 
 
 # VMEM budget for the packet kernel's resident tables (node + leaf
@@ -426,18 +432,20 @@ def occluded(scene, o: V3, d: V3, max_t: jax.Array) -> jax.Array:
     d = jax.lax.stop_gradient(d)
     max_t = jax.lax.stop_gradient(max_t)
     tris = jax.lax.stop_gradient(scene.triangles)
+    from jax.ad_checkpoint import checkpoint_name
     from ..ops import bvh_kernel, mt_kernel
     from ..parallel.scene_shard import ShardedBVH, traverse_sharded
+    tag = lambda occ: checkpoint_name(occ, "ray_occ")  # noqa: E731
     if isinstance(scene.bvh, ShardedBVH):
-        return traverse_sharded(scene.bvh, o, d, max_t,
-                                any_hit=True).tri >= 0
+        return tag(traverse_sharded(scene.bvh, o, d, max_t,
+                                    any_hit=True).tri >= 0)
     if scene.bvh is not None and scene.triangles.count > 64:
         if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
-            return _sorted_call(
+            return tag(_sorted_call(
                 scene, o, d, max_t > 0.0, (max_t,),
                 lambda so, sd, st: bvh_kernel.traverse_packet(
-                    scene.bvh, tris, so, sd, st, any_hit=True).tri >= 0)
-        return any_hit_bvh(scene.bvh, tris, o, d, max_t)
+                    scene.bvh, tris, so, sd, st, any_hit=True).tri >= 0))
+        return tag(any_hit_bvh(scene.bvh, tris, o, d, max_t))
     if mt_kernel.use_pallas():
-        return mt_kernel.any_hit_pallas(tris, o, d, max_t)
-    return any_hit_brute(tris, o, d, max_t)
+        return tag(mt_kernel.any_hit_pallas(tris, o, d, max_t))
+    return tag(any_hit_brute(tris, o, d, max_t))

@@ -45,8 +45,9 @@ def direct_image(scene: Scene, key, cfg: RenderConfig) -> jax.Array:
     r_pick = rng.uniform(key, 0, rng.LIGHT_PICK, (n,))
     r1 = rng.uniform(key, 0, rng.LIGHT_POS_U, (n,))
     r2 = rng.uniform(key, 0, rng.LIGHT_POS_V, (n,))
+    r3 = rng.uniform(key, 0, rng.LIGHT_AUX, (n,))
     out = out + compute_direct(scene, sh, found & ~is_light,
-                               r_pick, r1, r2, cfg.mis)
+                               r_pick, r1, r2, cfg.mis, r3=r3)
     return out.stacked().reshape(cam.height, cam.width, 3)
 
 

@@ -123,12 +123,12 @@ def balance_heuristic(pdf_a, pdf_b):
 
 
 def compute_direct(scene: Scene, sh: Shading, active, r_pick, r1, r2,
-                   mis: bool, types=None) -> V3:
+                   mis: bool, types=None, r3=None) -> V3:
     """One-light one-sample NEE; with `mis` the light-strategy term is
     balance-weighted against the BSDF pdf (computeDirectMIS light half,
     Renderer.h:474-512).  The BSDF-strategy half lives in the bounce loop
     (emission weighting), unlike the reference's extra scout ray."""
-    ls = lights_mod.sample_one(scene, sh.x, sh.sn, r_pick, r1, r2)
+    ls = lights_mod.sample_one(scene, sh.x, sh.sn, r_pick, r1, r2, r3)
     specular = bsdf_mod.is_specular(sh.mp.mtype)
     cand = active & ls.valid & ~specular
     wi_local = sh.frame.to_local(ls.wi)

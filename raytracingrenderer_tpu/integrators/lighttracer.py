@@ -62,28 +62,61 @@ def light_trace_pass(scene: Scene, film: film_mod.Film, key,
     the sharded-film-accumulation design SURVEY §2.11 calls for (the
     reference must run this single-threaded because its splats race,
     Renderer.h:223-229)."""
+    from ..lights import lights as lights_api
     n_area = scene.num_lights
+    has_bg = lights_api.background_enabled(scene)
+    n_total = n_area + (1 if has_bg else 0)
     buf = film.buffer
-    if n_area == 0:
+    if n_total == 0:
         return film_mod.Film(buf, film.spp + 1.0)
     n = n_paths
-    pmf = 1.0 / max(lights_mod_num(scene), 1)
+    pmf = 1.0 / n_total
 
     # ---- sample light position + direction ---------------------------
+    # Uniform pick over area lights + background (Scene::sampleLight pmf
+    # semantics, Scene.h:131-140).
     r_pick = rng.uniform(key, 0, rng.LIGHT_PICK, (n,))
-    li = jnp.minimum((r_pick * n_area).astype(jnp.int32), n_area - 1)
-    tri = scene.lights.tri[li]
-    tris = scene.triangles
+    pick = jnp.minimum((r_pick * n_total).astype(jnp.int32), n_total - 1)
+    is_bg = (pick >= n_area) if has_bg else jnp.zeros(n, bool)
     r1 = rng.uniform(key, 0, rng.LIGHT_POS_U, (n,))
     r2 = rng.uniform(key, 0, rng.LIGHT_POS_V, (n,))
-    a, b, g = warps.uniform_triangle(r1, r2)
-    p = tris.p0.gather(tri) + tris.e1.gather(tri) * b \
-        + tris.e2.gather(tri) * g
-    ln = tris.gn.gather(tri)
-    pdf_pos = 1.0 / jnp.maximum(scene.lights.area[li], 1e-12)
-    le = scene.lights.le.gather(li)
 
-    # cosine-sampled emission direction (AreaLight::sampleDirectionFromLight)
+    if n_area:
+        li = jnp.minimum(pick, n_area - 1)
+        tri = scene.lights.tri[li]
+        tris = scene.triangles
+        a, b, g = warps.uniform_triangle(r1, r2)
+        p_a = tris.p0.gather(tri) + tris.e1.gather(tri) * b \
+            + tris.e2.gather(tri) * g
+        ln_a = tris.gn.gather(tri)
+        pdf_pos_a = 1.0 / jnp.maximum(scene.lights.area[li], 1e-12)
+        le_a = scene.lights.le.gather(li)
+    else:
+        p_a = V3.zeros(n)
+        ln_a = V3.full(n, 0.0, 0.0, 1.0)
+        pdf_pos_a = jnp.ones(n)
+        le_a = V3.zeros(n)
+
+    if has_bg:
+        # Infinite lights emit from the scene bounding sphere: position
+        # uniform on the sphere, inward normal (reference
+        # samplePositionFromLight, Lights.h:119-126,185-193 — with the
+        # pdf the BackgroundColour variant inverts by mistake).
+        sph = warps.uniform_sphere(r1, r2)
+        c, r = scene.bounds.centre, jnp.maximum(scene.bounds.radius, 1e-6)
+        p_b = V3(c.x + sph.x * r, c.y + sph.y * r, c.z + sph.z * r)
+        ln_b = -sph
+        pdf_pos_b = jnp.broadcast_to(
+            1.0 / (4.0 * jnp.pi * r * r), (n,))
+        p = vwhere(is_bg, p_b, p_a)
+        ln = vwhere(is_bg, ln_b, ln_a)
+        pdf_pos = jnp.where(is_bg, pdf_pos_b, pdf_pos_a)
+    else:
+        p, ln, pdf_pos = p_a, ln_a, pdf_pos_a
+
+    # cosine-sampled emission direction about the (inward, for infinite
+    # lights) normal — AreaLight::sampleDirectionFromLight semantics,
+    # upgraded from the reference's uniform sphere for the background.
     r3 = rng.uniform(key, 0, rng.BSDF_U, (n,))
     r4 = rng.uniform(key, 0, rng.BSDF_V, (n,))
     wl = warps.cosine_hemisphere(r3, r4)
@@ -91,12 +124,29 @@ def light_trace_pass(scene: Scene, film: film_mod.Film, key,
     wi = lf.to_world(wl)
     pdf_dir = warps.cosine_hemisphere_pdf(wl)
 
+    # emitted radiance along wi: area lights are constant; the env is
+    # directional — a ray entering along wi carries the radiance a
+    # camera ray escaping along -wi would see.
+    if has_bg:
+        le = vwhere(is_bg, lights_api.eval_background(scene, -wi), le_a)
+    else:
+        le = le_a
+
     # radiance-over-pdf carried along the path (lightTrace_init,
     # Renderer.h:260-286)
     le_over = le * (wl.z / jnp.maximum(pmf * pdf_dir * pdf_pos, 1e-12))
-    # connect the light vertex itself (emitted radiance toward camera)
+    # connect the light vertex itself (emitted radiance toward camera);
+    # for the background this paints the directly-visible environment.
+    cam = scene.camera
+    dir_c = V3(cam.origin.x - p.x, cam.origin.y - p.y,
+               cam.origin.z - p.z).normalize()
+    if has_bg:
+        le_cam = vwhere(is_bg, lights_api.eval_background(scene, -dir_c),
+                        le_a)
+    else:
+        le_cam = le_a
     buf = _connect(scene, buf, p, ln,
-                   le * (1.0 / jnp.maximum(pmf * pdf_pos, 1e-12)),
+                   le_cam * (1.0 / jnp.maximum(pmf * pdf_pos, 1e-12)),
                    jnp.ones(n, bool))
 
     state = dict(o=p + wi * EPSILON, d=wi,
@@ -153,8 +203,3 @@ def light_trace_pass(scene: Scene, film: film_mod.Film, key,
     state, _ = jax.lax.scan(bounce, state,
                             jnp.arange(cfg.max_depth + 1, dtype=jnp.int32))
     return film_mod.Film(state["buf"], film.spp + 1.0)
-
-
-def lights_mod_num(scene: Scene) -> int:
-    from ..lights.lights import num_lights
-    return num_lights(scene)

@@ -116,8 +116,9 @@ def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
         r_pick = rng.uniform(key, depth, rng.LIGHT_PICK, (n,))
         r_lu = rng.uniform(key, depth, rng.LIGHT_POS_U, (n,))
         r_lv = rng.uniform(key, depth, rng.LIGHT_POS_V, (n,))
+        r_aux = rng.uniform(key, depth, rng.LIGHT_AUX, (n,))
         direct = compute_direct(scene, sh, shade, r_pick, r_lu, r_lv,
-                                cfg.mis, cfg.mat_types)
+                                cfg.mis, cfg.mat_types, r3=r_aux)
         if not cfg.debug_no_nee:
             radiance = radiance + beta * direct
 
@@ -163,6 +164,18 @@ def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
         return new_state, None
 
     n_bounces = cfg.max_depth + 2  # depths 0..max_depth+1 (see docstring)
-    state, _ = jax.lax.scan(bounce, state,
+    body = bounce
+    if cfg.remat:
+        # Checkpointed backward (SURVEY §5): per-bounce residuals are
+        # ONLY the traversal results (tagged in geometry/intersect.py);
+        # reverse-mode recomputes shading/NEE/BSDF math from the carried
+        # ray state and the saved hits, and the BVH walk itself is
+        # dead-code under the recompute (its outputs are saved).
+        body = jax.checkpoint(
+            bounce,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "ray_hit", "ray_occ"),
+            prevent_cse=False)
+    state, _ = jax.lax.scan(body, state,
                             jnp.arange(n_bounces, dtype=jnp.int32))
     return state["radiance"]

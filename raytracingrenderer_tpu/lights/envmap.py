@@ -138,26 +138,34 @@ def evaluate(env: EnvMap, wi: V3) -> V3:
             + tex(y1, x1) * (fu * fv))
 
 
-def sample_le(env: EnvMap, r1: jax.Array, r2: jax.Array
-              ) -> Tuple[V3, jax.Array, V3]:
+def sample_le(env: EnvMap, r1: jax.Array, r2: jax.Array,
+              r3: jax.Array = None) -> Tuple[V3, jax.Array, V3]:
     """Importance-sample a direction; returns (wi, solid-angle pdf, and
     the sampled texel's radiance).
 
-    Alias-method texel pick in O(1): split r1 into a slot index and an
-    in-slot uniform; accept the slot or take its alias; the conditional
-    remainders of the accept test stratify u inside the texel and r2
-    supplies v.  Exactly TWO row gathers run per sample — [prob, alias]
-    at the slot and [R, G, B, pdf] at the texel — because XLA TPU
-    gathers cost per *op*, not per byte (the unpacked form measured
-    ~95 ms/bounce at 1M rays; this form ~25 ms).  The returned radiance
-    is the texel point sample the pdf table describes — NEE pairs it
-    with that pdf, while escaped rays keep bilinear `evaluate`.
+    Alias-method texel pick in O(1): r1 picks the slot, r3 drives the
+    accept-or-alias test (its conditional remainder stratifies u inside
+    the texel), r2 supplies v.  r3 is a SEPARATE uniform: folding the
+    slot index and the accept fraction into one float32 leaves only
+    (24 - log2(H*W)) mantissa bits for the fraction — at 512x1024 the
+    accept probabilities quantize to 1/32 steps, a systematic sampling
+    bias against the pdf table (advisor r2 finding).  Legacy callers
+    without r3 fall back to the folded form.  Exactly TWO row gathers
+    run per sample — [prob, alias] at the slot and [R, G, B, pdf] at
+    the texel — because XLA TPU gathers cost per *op*, not per byte
+    (the unpacked form measured ~95 ms/bounce at 1M rays; this form
+    ~25 ms).  The returned radiance is the texel point sample the pdf
+    table describes — NEE pairs it with that pdf, while escaped rays
+    keep bilinear `evaluate`.
     """
     h, w = env.data.shape[0], env.data.shape[1]
     n = h * w
     scaled = r1 * n
     j = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
-    rp = scaled - j.astype(jnp.float32)      # in-slot uniform
+    if r3 is None:
+        rp = scaled - j.astype(jnp.float32)  # folded in-slot uniform
+    else:
+        rp = r3                              # full-precision uniform
     arow = env.alias_row[j]                  # gather 1: [prob, alias]
     pj = arow[:, 0]
     take = rp < pj

@@ -70,7 +70,8 @@ def background_pdf(scene: Scene, d: V3) -> jax.Array:
     return jnp.full(jnp.shape(d.z), warps.INV_4PI)
 
 
-def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2) -> LightSample:
+def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
+               r3=None) -> LightSample:
     """Uniformly pick one light per lane and sample a direction to it.
 
     Area lights follow reference AreaLight::sample (uniform by area, pdf
@@ -131,7 +132,7 @@ def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2) -> LightSample:
         if bg.kind == BG_ENVMAP:
             # the sampled texel's radiance arrives with the same gather
             # as its pdf — no separate bilinear lookup (see sample_le)
-            wi_b, pdf_b, le_b = envmap_mod.sample_le(bg.envmap, r1, r2)
+            wi_b, pdf_b, le_b = envmap_mod.sample_le(bg.envmap, r1, r2, r3)
         else:
             wi_b = warps.uniform_sphere(r1, r2)
             pdf_b = warps.uniform_sphere_pdf(wi_b)

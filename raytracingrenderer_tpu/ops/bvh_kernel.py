@@ -233,6 +233,298 @@ def _kernel(nodes_ref, leaf_ref,
     v_ref[...] = v_b
 
 
+def widen(bvh: BVH) -> BVH:
+    """Attach the 4-wide collapse to a binary BVH (host-side, load time).
+
+    Each wide node absorbs a binary internal node plus its internal
+    children: its children are the grandchildren (or leaf children) of
+    the binary node, so one kernel visit tests up to 4 boxes and the
+    scalar while_loop runs ~2x fewer iterations — the fixed per-visit
+    cost (stack traffic, scalar reads, the leaf lax.cond) is what
+    dominates incoherent-ray traversal (scripts/profile_bathroom.py).
+    Children are sorted ascending by centroid along the axis of largest
+    child-centroid spread, so near-to-far ordering per ray block is a
+    single direction-sign test (same heuristic as the binary pack).
+
+    Leaf rows are SHARED with the binary kernel: leaf ids here are the
+    same cumsum-of-leaves indices pack_tables uses.
+    """
+    import numpy as np
+    if isinstance(bvh.right, jax.core.Tracer):
+        raise ValueError("widen() needs concrete arrays (call at load)")
+    right = np.asarray(bvh.right)
+    lo = np.asarray(bvh.lo)
+    hi = np.asarray(bvh.hi)
+    b = right.shape[0]
+    is_int = right >= 0
+    lid = np.cumsum(~is_int) - 1   # leaf-row id per binary node
+    if b == 0 or not is_int[0]:
+        # single-leaf root: no wide rows; one dummy all-empty row keeps
+        # Mosaic away from zero-sized tables
+        return bvh.replace_wide(
+            np.full((1, 4), -1, np.int32), np.zeros((1, 4), np.int32),
+            np.zeros(1, np.int32))
+
+    def children_of(i):
+        out = []
+        for c in (i + 1, right[i]):
+            if is_int[c]:
+                out.extend((c + 1, right[c]))
+            else:
+                out.append(c)
+        return out
+
+    # preorder DFS assigns wide rows
+    order = []
+    wid_of = {}
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        wid_of[i] = len(order)
+        order.append(i)
+        for c in reversed(children_of(i)):
+            if is_int[c]:
+                stack.append(c)
+    w = len(order)
+    wsel = np.full((w, 4), -1, np.int32)
+    wcode = np.zeros((w, 4), np.int32)
+    waxis = np.zeros(w, np.int32)
+    for row, i in enumerate(order):
+        cs = children_of(i)
+        cen = (lo[cs] + hi[cs]) * 0.5           # (k, 3)
+        axis = int(np.argmax(cen.max(0) - cen.min(0)))
+        cs = [cs[j] for j in np.argsort(cen[:, axis], kind="stable")]
+        waxis[row] = axis
+        for k, c in enumerate(cs):
+            wsel[row, k] = c
+            wcode[row, k] = (wid_of[c] if is_int[c]
+                             else -(int(lid[c]) + 1))
+    return bvh.replace_wide(wsel, wcode, waxis)
+
+
+def pack_leaves(bvh: BVH, tris: Triangles) -> jax.Array:
+    """(L, 128) f32 leaf rows: SLOTS triangles x 9 floats + base index +
+    count; shared by the binary and wide node kernels."""
+    right = bvh.right
+    b = right.shape[0]
+    is_int = right >= 0
+    n_leaf = (int(b) + 1) // 2
+    leaf_ids = jnp.nonzero(~is_int, size=n_leaf, fill_value=0)[0]
+    start = bvh.start[leaf_ids]
+    count = bvh.count[leaf_ids]
+    t_count = tris.count
+    k = jnp.arange(SLOTS, dtype=jnp.int32)
+    ti = jnp.clip(start[:, None] + k[None, :], 0, max(t_count - 1, 0))
+    valid = k[None, :] < count[:, None]
+    tri9 = jnp.stack([
+        tris.p0.x, tris.p0.y, tris.p0.z,
+        tris.e1.x, tris.e1.y, tris.e1.z,
+        tris.e2.x, tris.e2.y, tris.e2.z], axis=-1).astype(jnp.float32)
+    g = jnp.where(valid[..., None], tri9[ti], 0.0)  # (L, SLOTS, 9)
+    return jnp.concatenate([
+        g.reshape(n_leaf, SLOTS * 9),
+        start.astype(jnp.float32)[:, None],
+        count.astype(jnp.float32)[:, None]], axis=1)  # (L, 128)
+
+
+def pack_tables_wide(bvh: BVH, tris: Triangles
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Pack (wide nodes (W, 32->128) f32, leaves (L, 128) f32).
+
+    Wide row layout: lanes 6k..6k+5 = child k [lo.xyz hi.xyz] (empty
+    children get inverted boxes that can never pass the slab test),
+    lanes 24..27 = child codes (f32 ints), lane 28 = sort axis.
+    jnp ops so the pack is jit-hoisted; the wide structure (wsel/wcode/
+    waxis) was precomputed host-side by widen().
+    """
+    wsel = bvh.wsel
+    valid = wsel >= 0
+    sel = jnp.maximum(wsel, 0)
+    # Empty slots get a POINT at +3e38, not an inverted box: the slab
+    # test normalizes lo/hi with min/max, so an inverted box tests as
+    # always-hit.  A far point yields per-axis slab t's that are either
+    # mixed-sign (tmax < 0 -> miss) or all >= ~1.7e38 > every t_best
+    # (seeds are clamped to 1e30), so it can never pass.
+    clo = jnp.where(valid[..., None], bvh.lo[sel], 3.0e38)   # (W, 4, 3)
+    chi = jnp.where(valid[..., None], bvh.hi[sel], 3.0e38)
+    per_child = jnp.concatenate([clo, chi], axis=-1)         # (W, 4, 6)
+    w = wsel.shape[0]
+    nodes = jnp.concatenate([
+        per_child.reshape(w, 24).astype(jnp.float32),
+        bvh.wcode.astype(jnp.float32),
+        bvh.waxis.astype(jnp.float32)[:, None],
+        jnp.zeros((w, 3), jnp.float32)], axis=1)             # (W, 32)
+    return nodes, pack_leaves(bvh, tris)
+
+
+def _kernel_wide(nodes_ref, leaf_ref,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
+                 t_ref, tri_ref, u_ref, v_ref,
+                 tstack_ref, nstack_ref,
+                 *, init_code: int, max_iters: int, any_hit: bool,
+                 ray_sub: int):
+    """4-wide variant of _kernel: one visit = up to 4 child slab tests,
+    far children pushed in sorted order so the nearest live child is
+    followed immediately."""
+    blk = (ray_sub, RAY_LANE)
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    ix = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
+    iy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
+    iz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
+    oix = ox * ix
+    oiy = oy * iy
+    oiz = oz * iz
+    sdx = jnp.sum(dx) > 0.0
+    sdy = jnp.sum(dy) > 0.0
+    sdz = jnp.sum(dz) > 0.0
+
+    def slab(c0, base, t_b, m):
+        lox = nodes_ref[c0, base + 0]
+        loy = nodes_ref[c0, base + 1]
+        loz = nodes_ref[c0, base + 2]
+        hix = nodes_ref[c0, base + 3]
+        hiy = nodes_ref[c0, base + 4]
+        hiz = nodes_ref[c0, base + 5]
+        t0x = lox * ix - oix
+        t1x = hix * ix - oix
+        t0y = loy * iy - oiy
+        t1y = hiy * iy - oiy
+        t0z = loz * iz - oiz
+        t1z = hiz * iz - oiz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        te = jnp.maximum(tmin, 0.0)
+        ok = m & (tmax >= te) & (te < t_b)
+        return jnp.where(ok, te, INF)
+
+    def leaf_test(row, m, t_b, tri_b, u_b, v_b):
+        base = leaf_ref[row, LANE_START].astype(jnp.int32)
+        for k in range(SLOTS):
+            c = 9 * k
+            p0x = leaf_ref[row, c + 0]
+            p0y = leaf_ref[row, c + 1]
+            p0z = leaf_ref[row, c + 2]
+            e1x = leaf_ref[row, c + 3]
+            e1y = leaf_ref[row, c + 4]
+            e1z = leaf_ref[row, c + 5]
+            e2x = leaf_ref[row, c + 6]
+            e2y = leaf_ref[row, c + 7]
+            e2z = leaf_ref[row, c + 8]
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = jnp.where(jnp.abs(det) < DET_EPS, 0.0, 1.0 / det)
+            tvx = ox - p0x
+            tvy = oy - p0y
+            tvz = oz - p0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            hit = (m & (jnp.abs(det) >= DET_EPS) & (uu >= 0.0)
+                   & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > 0.0)
+                   & (tt < t_b))
+            if any_hit:
+                t_b = jnp.where(hit, -1.0, t_b)
+                tri_b = jnp.where(hit, base + k, tri_b).astype(jnp.int32)
+            else:
+                t_b = jnp.where(hit, tt, t_b)
+                tri_b = jnp.where(hit, base + k, tri_b).astype(jnp.int32)
+                u_b = jnp.where(hit, uu, u_b)
+                v_b = jnp.where(hit, vv, v_b)
+        return t_b, tri_b, u_b, v_b
+
+    def body(state):
+        it, sp, have, code, te, t_b, tri_b, u_b, v_b = state
+        do_pop = jnp.logical_not(have)
+        slot = jnp.maximum(sp - 1, 0)
+        code = jnp.where(do_pop, nstack_ref[slot], code)
+        te_mem = tstack_ref[pl.ds(slot * ray_sub, ray_sub), :]
+        te = jnp.where(do_pop, te_mem, te)
+        sp = jnp.where(do_pop, slot, sp)
+
+        m = te < t_b
+        is_leaf = code < 0
+
+        leaf_row = jnp.maximum((-code) - 1, 0)
+        t_b, tri_b, u_b, v_b = jax.lax.cond(
+            is_leaf,
+            lambda args: leaf_test(leaf_row, m, *args),
+            lambda args: args,
+            (t_b, tri_b, u_b, v_b))
+
+        safe = jnp.maximum(code, 0)
+        mi = m & jnp.logical_not(is_leaf)
+        te0 = slab(safe, 0, t_b, mi)
+        te1 = slab(safe, 6, t_b, mi)
+        te2 = slab(safe, 12, t_b, mi)
+        te3 = slab(safe, 18, t_b, mi)
+        c0 = nodes_ref[safe, 24].astype(jnp.int32)
+        c1 = nodes_ref[safe, 25].astype(jnp.int32)
+        c2 = nodes_ref[safe, 26].astype(jnp.int32)
+        c3 = nodes_ref[safe, 27].astype(jnp.int32)
+        axis = nodes_ref[safe, 28].astype(jnp.int32)
+        d_pos = jax.lax.select(axis == 0, sdx,
+                               jax.lax.select(axis == 1, sdy, sdz))
+        # children stored ascending along axis; iterate far -> near so
+        # the followed child (last live) is the nearest
+        tes = (te0, te1, te2, te3)
+        cds = (c0, c1, c2, c3)
+        have = jnp.bool_(False)
+        code = jnp.int32(0)
+        te = jnp.full(blk, INF, jnp.float32)
+        for j in range(4):
+            k_pos, k_neg = 3 - j, j
+            te_k = jnp.where(d_pos, tes[k_pos], tes[k_neg])
+            code_k = jnp.where(d_pos, cds[k_pos], cds[k_neg])
+            alive_k = jnp.min(te_k) < INF
+
+            @pl.when(alive_k & have)
+            def _(code=code, te=te):
+                nstack_ref[sp] = code
+                tstack_ref[pl.ds(sp * ray_sub, ray_sub), :] = te
+
+            sp = sp + (alive_k & have).astype(jnp.int32)
+            code = jnp.where(alive_k, code_k, code)
+            te = jnp.where(alive_k, te_k, te)
+            have = have | alive_k
+        if any_hit:
+            done = jnp.max(t_b) < 0.0
+            have = have & jnp.logical_not(done)
+            sp = jnp.where(done, 0, sp)
+        return it + 1, sp, have, code, te, t_b, tri_b, u_b, v_b
+
+    def cond(state):
+        it, sp, have, *_ = state
+        return (have | (sp > 0)) & (it < jnp.int32(max_iters))
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.bool_(True),
+            jnp.int32(init_code),
+            jnp.zeros(blk, jnp.float32),
+            t0_ref[...],
+            jnp.full(blk, -1, jnp.int32),
+            jnp.zeros(blk, jnp.float32),
+            jnp.zeros(blk, jnp.float32))
+    out = jax.lax.while_loop(cond, body, init)
+    _, _, _, _, _, t_b, tri_b, u_b, v_b = out
+    t_ref[...] = t_b
+    tri_ref[...] = tri_b
+    u_ref[...] = u_b
+    v_ref[...] = v_b
+
+
 def pack_tables(bvh: BVH, tris: Triangles
                 ) -> Tuple[jax.Array, jax.Array]:
     """Pack (nodes (I, 16) f32, leaves (L, 128) f32) kernel tables.
@@ -250,28 +542,11 @@ def pack_tables(bvh: BVH, tris: Triangles
     b = right.shape[0]
     is_int = right >= 0
     n_int = max((int(b) - 1) // 2, 1)
-    n_leaf = (int(b) + 1) // 2
     iid = jnp.cumsum(is_int.astype(jnp.int32)) - 1
     lid = jnp.cumsum((~is_int).astype(jnp.int32)) - 1
     int_ids = jnp.nonzero(is_int, size=n_int, fill_value=0)[0]
-    leaf_ids = jnp.nonzero(~is_int, size=n_leaf, fill_value=0)[0]
 
-    # ---- leaf rows -----------------------------------------------------
-    start = bvh.start[leaf_ids]
-    count = bvh.count[leaf_ids]
-    t_count = tris.count
-    k = jnp.arange(SLOTS, dtype=jnp.int32)
-    ti = jnp.clip(start[:, None] + k[None, :], 0, max(t_count - 1, 0))
-    valid = k[None, :] < count[:, None]
-    tri9 = jnp.stack([
-        tris.p0.x, tris.p0.y, tris.p0.z,
-        tris.e1.x, tris.e1.y, tris.e1.z,
-        tris.e2.x, tris.e2.y, tris.e2.z], axis=-1).astype(jnp.float32)
-    g = jnp.where(valid[..., None], tri9[ti], 0.0)  # (L, SLOTS, 9)
-    leaves = jnp.concatenate([
-        g.reshape(n_leaf, SLOTS * 9),
-        start.astype(jnp.float32)[:, None],
-        count.astype(jnp.float32)[:, None]], axis=1)  # (L, 128)
+    leaves = pack_leaves(bvh, tris)
 
     # ---- internal rows --------------------------------------------------
     left = int_ids + 1
@@ -315,15 +590,27 @@ def _init_code(bvh: BVH) -> int:
 
 def traverse_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
                     any_hit: bool = False, interpret: bool = False,
-                    ray_sub: int = RAY_SUB) -> Hit:
+                    ray_sub: int = RAY_SUB, wide: bool = None) -> Hit:
     """Packet traversal over the whole ray batch (grid over ray blocks).
 
     t_init seeds the per-ray search radius: +BIG_T for closest-hit, the
     segment length for any-hit (occluded iff a triangle id is recorded).
+    Uses the 4-wide kernel when the BVH carries a widen() collapse
+    (default; pass wide=False to force the binary kernel).
     """
     n = o.x.shape[0]
     ray_block = ray_sub * RAY_LANE
-    nodes, leaves = pack_tables(bvh, tris)
+    if wide is None:
+        # Measured on v5e (scripts/bench_wide.py, bathroom 330k tris):
+        # the binary kernel wins ~15% on both coherent and incoherent
+        # rays — slab/MT vector work dominates, not per-visit overhead —
+        # so wide serves only trees too deep for the binary stack
+        # (wide depth is half the binary depth).
+        wide = bvh.depth > MAX_STACK and wide_ok(bvh)
+    if wide:
+        nodes, leaves = pack_tables_wide(bvh, tris)
+    else:
+        nodes, leaves = pack_tables(bvh, tris)
     init_code = _init_code(bvh)
     n_nodes = bvh.right.shape[0]
     pad = (-n) % ray_block
@@ -333,15 +620,19 @@ def traverse_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
         x = jnp.pad(x.astype(jnp.float32), (0, pad), constant_values=fill)
         return x.reshape(n_pad // RAY_LANE, RAY_LANE)
 
-    # pad lanes get t_init = -1: `t_entry < t_best` is false forever
-    t0 = jnp.pad(jnp.broadcast_to(t_init, (n,)).astype(jnp.float32),
-                 (0, pad), constant_values=-1.0)
+    # pad lanes get t_init = -1: `t_entry < t_best` is false forever.
+    # Clamp the seed below the miss sentinel INF so box-missed rays
+    # (te = INF) fail `te < t_best` immediately and re-pruning engages
+    # before the first hit (advisor r2: BIG_T > INF defeated it).
+    t0 = jnp.pad(jnp.minimum(jnp.broadcast_to(t_init, (n,)), 1e30)
+                 .astype(jnp.float32), (0, pad), constant_values=-1.0)
     t0 = t0.reshape(n_pad // RAY_LANE, RAY_LANE)
 
     n_blocks = n_pad // ray_block
     grid_rows = n_pad // RAY_LANE
     kernel = functools.partial(
-        _kernel, init_code=init_code, max_iters=4 * n_nodes + 64,
+        _kernel_wide if wide else _kernel,
+        init_code=init_code, max_iters=4 * n_nodes + 64,
         any_hit=any_hit, ray_sub=ray_sub)
     blk = pl.BlockSpec((ray_sub, RAY_LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
@@ -368,8 +659,11 @@ def traverse_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
     )(nodes, leaves,
       grid2d(o.x), grid2d(o.y), grid2d(o.z),
       grid2d(d.x), grid2d(d.y, 1.0), grid2d(d.z), t0)
-    return Hit(t.reshape(-1)[:n], tri.reshape(-1)[:n],
-               u.reshape(-1)[:n], v.reshape(-1)[:n])
+    t = t.reshape(-1)[:n]
+    tri = tri.reshape(-1)[:n]
+    # misses keep the caller's seed (the clamp to 1e30 is kernel-internal)
+    t = jnp.where(tri >= 0, t, jnp.broadcast_to(t_init, (n,)))
+    return Hit(t, tri, u.reshape(-1)[:n], v.reshape(-1)[:n])
 
 
 def closest_hit_packet(bvh: BVH, tris: Triangles, o: V3, d: V3,
@@ -395,6 +689,17 @@ def table_bytes(bvh: BVH, tris: Triangles) -> int:
     return (b + 1) * 512  # I + L = B rows total
 
 
+def wide_ok(bvh: BVH) -> bool:
+    """Wide-kernel stack bound: each visit pushes at most 3 (live
+    children - 1), so worst-case stack depth is 3 * wide tree depth."""
+    return (bvh.wsel is not None
+            and 3 * ((bvh.depth + 1) // 2) + 1 <= MAX_STACK)
+
+
 def usable(bvh: BVH) -> bool:
-    """Static dispatch guard: leaf rows hold at most SLOTS triangles."""
-    return bvh.leaf_max <= SLOTS
+    """Static dispatch guard: leaf rows hold at most SLOTS triangles AND
+    the tree fits a kernel's fixed traversal stack (advisor r2: a
+    degenerate binned-SAH tree can exceed it; depth==0 means an old/
+    unknown build — route those to the stackless path too)."""
+    return (bvh.leaf_max <= SLOTS and 0 < bvh.depth
+            and (bvh.depth <= MAX_STACK or wide_ok(bvh)))

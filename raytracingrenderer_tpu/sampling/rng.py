@@ -25,6 +25,7 @@ BSDF_V = 7
 BSDF_LOBE = 8
 LENS_U = 9
 LENS_V = 10
+LIGHT_AUX = 11   # alias-table accept test + in-texel u offset
 _NUM_DECISIONS = 16
 
 

@@ -388,6 +388,10 @@ def load_scene(scene_dir: str, build_bvh: bool = True,
         # 14 = the most triangle slots (9 floats each) that fit one
         # 128-lane leaf row of the packet kernel's VMEM layout
         bvh, order = bvh_build(tp, max_leaf=14)
+        # 4-wide collapse for the packet kernel (ops/bvh_kernel.widen):
+        # halves the scalar while_loop trips per ray block
+        from ..ops.bvh_kernel import widen
+        bvh = widen(bvh)
         triangles = _reorder(triangles, order)
         # light table indexes triangles: remap
         inv = np.empty(len(order), np.int64)

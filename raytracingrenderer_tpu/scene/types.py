@@ -224,7 +224,8 @@ class BVH:
     """
 
     def __init__(self, lo, hi, right, start, count, skip,
-                 leaf_max: int = 4):
+                 leaf_max: int = 4, depth: int = 0,
+                 wsel=None, wcode=None, waxis=None):
         self.lo = lo         # (B, 3)
         self.hi = hi         # (B, 3)
         self.right = right   # (B,) int32: right-child index, -1 for leaf
@@ -232,14 +233,52 @@ class BVH:
         self.count = count   # (B,) int32: triangle count (0 for inner)
         self.skip = skip     # (B,) int32: DFS successor after subtree
         self.leaf_max = int(leaf_max)
+        # static build-time tree depth (root = 1); the Pallas packet
+        # kernel's fixed-size traversal stack is only safe when
+        # depth <= its MAX_STACK, so dispatch guards on this
+        # (advisor r2: binned SAH admits degenerate deep trees).
+        self.depth = int(depth)
+        # Optional 4-wide collapse (ops/bvh_kernel.widen): each wide row
+        # holds up to 4 children = the grandchildren (or leaf children)
+        # of a binary internal node, sorted ascending by centroid along
+        # waxis.  wsel (W, 4) int32 = binary node id per child slot (-1
+        # empty, for bounds gather); wcode (W, 4) int32 = wide row for
+        # internal children, -(leaf_row+1) for leaves; waxis (W,) int32.
+        self.wsel = wsel
+        self.wcode = wcode
+        self.waxis = waxis
+
+    def replace_wide(self, wsel, wcode, waxis) -> "BVH":
+        return BVH(self.lo, self.hi, self.right, self.start, self.count,
+                   self.skip, leaf_max=self.leaf_max, depth=self.depth,
+                   wsel=jnp.asarray(wsel), wcode=jnp.asarray(wcode),
+                   waxis=jnp.asarray(waxis))
 
     def tree_flatten(self):
         return ((self.lo, self.hi, self.right, self.start, self.count,
-                 self.skip), self.leaf_max)
+                 self.skip, self.wsel, self.wcode, self.waxis),
+                (self.leaf_max, self.depth))
 
     @classmethod
-    def tree_unflatten(cls, leaf_max, children):
-        return cls(*children, leaf_max=leaf_max)
+    def tree_unflatten(cls, aux, children):
+        leaf_max, depth = aux
+        lo, hi, right, start, count, skip, wsel, wcode, waxis = children
+        return cls(lo, hi, right, start, count, skip,
+                   leaf_max=leaf_max, depth=depth,
+                   wsel=wsel, wcode=wcode, waxis=waxis)
+
+
+def tree_depth(right: np.ndarray) -> int:
+    """Max depth (root=1) of the DFS-flattened binary BVH."""
+    right = np.asarray(right)
+    b = right.shape[0]
+    depth = np.ones(b, np.int32)
+    for i in range(b):
+        r = right[i]
+        if r >= 0:
+            depth[i + 1] = depth[i] + 1
+            depth[r] = depth[i] + 1
+    return int(depth.max()) if b else 0
 
 
 class Scene(NamedTuple):
