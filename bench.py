@@ -1,19 +1,22 @@
-"""Benchmark: pixel-paths/sec on cornell-box path tracing (fwd headline,
-fwd+bwd extra), vs the reference's implied CPU throughput.
+"""Benchmark: pixel-paths/sec on cornell-box path tracing (fwd headline)
+plus the BASELINE.json north-star extras: fwd+bwd on cornell AND
+bathroom, bathroom forward with the packet-BVH wavefront path, an
+on-device packet-vs-stackless correctness tether, and a committed-golden
+image assertion so a fast-but-wrong kernel regression cannot pass.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
 Baseline (BASELINE.md): the reference's implied throughput on its
-author's CPU for the cornell-box-class scene is ~15 M pixel-paths/s
-(result_144.hdr: 1024^2 @ 144 spp in ~10 s).  vs_baseline is our
-pixel-paths/s divided by that.
+author's CPU is ~15 M pixel-paths/s for the cornell-box class
+(result_144.hdr) and 0.1-0.4 M pps for the bathroom class
+(result_1/3/4.hdr); bathroom_vs_baseline divides by the 0.25 M midpoint.
 
 The measurement runs in a child process under a watchdog because the
 tunneled TPU backend can wedge (hang, not error); on TPU failure it
 falls back to an honest CPU measurement with the metric renamed so the
-numbers are never conflated.  Compilation happens in a warmup render of
-the SAME chunk shapes as the timed region, so XLA compile time is never
-counted as render time.
+numbers are never conflated.  Compilation happens in warmups with the
+SAME shapes as the timed regions (the persistent compilation cache makes
+repeat runs cheap), so XLA compile time is never counted as render time.
 """
 from __future__ import annotations
 
@@ -80,12 +83,11 @@ if on_tpu:
 
 # ---------------- cornell-box fwd+bwd (north-star extra) --------------
 import jax.numpy as jnp
-from raytracingrenderer_tpu.diff import _train_step_impl
+from raytracingrenderer_tpu.diff import _train_step_impl, _diff_cfg
 
 bw, bh = (1024, 1024) if on_tpu else (128, 128)
 sc2 = resize(scene, bw, bh)
-cfg2 = specialize_config(RenderConfig(mis=True, jitter=True, max_depth=4),
-                         sc2)
+cfg2 = _diff_cfg(RenderConfig(mis=True, jitter=True, max_depth=4), sc2)
 target = jnp.zeros((bh, bw, 3), jnp.float32)
 key = jax.random.PRNGKey(0)
 sc2, _ = _train_step_impl(sc2, target, key, cfg2, 0.01)  # compile
@@ -98,22 +100,84 @@ for i in range(steps):
 jax.block_until_ready(sc2.materials.albedo.x)
 dt = time.perf_counter() - t0
 out["fwdbwd_pps"] = bw * bh * steps / dt
+out["fwd_over_fwdbwd"] = round(out["fwd_pps"] / out["fwdbwd_pps"], 2)
 
-# ---------------- bathroom forward (BVH-scene north star) --------------
+# ---------------- bathroom (BVH-scene north star) ----------------------
 if on_tpu:
+    from raytracingrenderer_tpu.core.vec import V3
+    from raytracingrenderer_tpu.geometry import intersect
+    from raytracingrenderer_tpu.ops import bvh_kernel
+    from raytracingrenderer_tpu.render import pixel_grid
+    from raytracingrenderer_tpu.scene.camera import generate_rays
+
     sb = load_scene("/root/reference/RTBase/bathroom")
     cfgb = RenderConfig(mis=True, jitter=True, max_depth=4)
-    # warmup with the SAME spp so the chunk shapes (and thus compiles)
-    # match the timed region exactly
+
+    # --- correctness tether 1: compiled packet kernel vs the stackless
+    # jnp traversal ON DEVICE (the kernel's oracle tests run interpret
+    # mode on CPU; a Mosaic miscompile would only show here)
+    hb2, wb2 = sb.camera.height, sb.camera.width
+    xs, ys = pixel_grid(hb2, wb2)
+    o, d = jax.jit(lambda: generate_rays(sb.camera, xs + 0.5, ys + 0.5))()
+    sl = slice(0, 128 * 1024)
+    o = V3(o.x[sl], o.y[sl], o.z[sl])
+    d = V3(d.x[sl], d.y[sl], d.z[sl])
+    hp = jax.jit(lambda o, d: bvh_kernel.traverse_packet(
+        sb.bvh, sb.triangles, o, d,
+        jnp.full(o.x.shape[0], intersect.BIG_T)))(o, d)
+    hs = jax.jit(lambda o, d: intersect._traverse_stackless(
+        sb.bvh, sb.triangles, o, d,
+        jnp.full(o.x.shape[0], intersect.BIG_T), False,
+        sb.bvh.leaf_max))(o, d)
+    tp_ = np.minimum(np.asarray(hp.t), 1e30)
+    ts_ = np.minimum(np.asarray(hs.t), 1e30)
+    bad = (np.abs(tp_ - ts_) > 1e-3 * np.maximum(ts_, 1.0)).mean()
+    assert bad < 1e-3, f"packet kernel disagrees with stackless: {bad}"
+    out["packet_vs_stackless_mismatch"] = float(bad)
+
+    # --- timed forward (compacting wavefront path, the default for
+    # BVH-scale scenes); warm with the same spp
     fb = render(sb, cfgb, spp=2)
     jax.block_until_ready(fb.buffer)
     t0 = time.perf_counter()
     fb = render(sb, cfgb, spp=2, film=fb)
     jax.block_until_ready(fb.buffer)
     dt = time.perf_counter() - t0
-    hb, wb2 = sb.camera.height, sb.camera.width
-    out["bathroom_fwd_pps"] = hb * wb2 * 2 / dt
+    out["bathroom_fwd_pps"] = hb2 * wb2 * 2 / dt
     out["bathroom_vs_baseline"] = out["bathroom_fwd_pps"] / 250e3
+
+    # --- correctness tether 2: the bench image against the committed
+    # golden (8x8-downsampled self-render) — a wrong-but-fast kernel or
+    # integrator regression cannot pass this
+    img_b = np.asarray(film_mod.to_hdr(fb))
+    assert np.isfinite(img_b).all()
+    gpath = "tests/golden/bathroom_4spp_ds8.npy"
+    ds = img_b.reshape(hb2 // 8, 8, wb2 // 8, 8, 3).mean((1, 3))
+    if not __import__("os").path.exists(gpath):
+        np.save(gpath, ds.astype(np.float32))
+        out["bathroom_golden"] = "WROTE " + gpath
+    else:
+        gold = np.load(gpath)
+        lum_g, lum_d = gold.mean(-1).ravel(), ds.mean(-1).ravel()
+        corr = float(np.corrcoef(lum_g, lum_d)[0, 1])
+        ratio = float(lum_d.mean() / max(lum_g.mean(), 1e-9))
+        assert corr > 0.95, f"bathroom image corr {corr}"
+        assert 0.85 < ratio < 1.15, f"bathroom mean ratio {ratio}"
+        out["bathroom_golden_corr"] = round(corr, 4)
+
+    # --- bathroom fwd+bwd (BASELINE.json: fwd+bwd on BOTH scenes)
+    sb2 = resize(sb, 512, 512)
+    cfgb2 = _diff_cfg(RenderConfig(mis=True, jitter=True, max_depth=4),
+                      sb2)
+    tgt = jnp.zeros((512, 512, 3), jnp.float32)
+    sb2, _ = _train_step_impl(sb2, tgt, key, cfgb2, 0.0)  # compile
+    jax.block_until_ready(sb2.materials.albedo.x)
+    t0 = time.perf_counter()
+    for i in range(2):
+        sb2, _ = _train_step_impl(sb2, tgt, jax.random.PRNGKey(i), cfgb2,
+                                  0.0)
+    jax.block_until_ready(sb2.materials.albedo.x)
+    out["bathroom_fwdbwd_pps"] = 512 * 512 * 2 / (time.perf_counter() - t0)
 
 print(json.dumps(out))
 """
@@ -173,7 +237,7 @@ def _run(env_extra, timeout, code=None):
 
 
 def main():
-    result = _run({}, timeout=480)  # default backend (TPU when healthy)
+    result = _run({}, timeout=1500)  # default backend (TPU when healthy)
     metric = "cornell-box_1024sq_pixel_paths_per_sec"
     if result is None or result.get("backend") != "tpu":
         cpu = _run({"JAX_PLATFORMS": "cpu"}, timeout=400)

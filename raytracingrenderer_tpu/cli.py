@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-keys", default="",
                    help="scripted interactive session: comma-separated "
                         "keys applied between render ticks")
+    p.add_argument("-profile", action="store_true",
+                   help="phase timing report (load/render/denoise/write) "
+                        "+ device memory stats at exit")
+    p.add_argument("-trace", default="", metavar="DIR",
+                   help="capture a jax.profiler trace of the render to "
+                        "DIR (view with xprof/TensorBoard)")
     return p
 
 
@@ -76,8 +82,13 @@ def main(argv=None) -> int:
     # env vars autodetect the cluster — SURVEY §2.11 comms backend row)
     from .parallel.distributed import init_distributed
     init_distributed()
+    from .utils.profiling import Timer
+    prof = Timer() if args.profile else None
     t0 = time.time()
     scene = load_scene(args.scene, scene_shards=args.sceneShards)
+    if prof is not None:
+        prof.totals["load"] = time.time() - t0
+        prof.counts["load"] = 1
     if args.sceneShards:
         from .parallel.mesh import make_mesh
         from .parallel.scene_shard import place_sharded
@@ -140,14 +151,21 @@ def main(argv=None) -> int:
             state["stop"] = True
             raise StopIteration
 
+    import contextlib
+
+    from .utils.profiling import trace
+    trace_ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
+    prof_render = (prof.phase("render") if prof is not None
+                   else contextlib.nullcontext())
     try:
-        if args.integrator == "path":
-            film = render(scene, cfg, spp=args.SPP, film=film,
-                          on_sample=on_sample)
-        else:
-            from .integrators.dispatch import render_with
-            film = render_with(scene, cfg, spp=args.SPP, film=film,
-                               on_sample=on_sample)
+        with trace_ctx, prof_render:
+            if args.integrator == "path":
+                film = render(scene, cfg, spp=args.SPP, film=film,
+                              on_sample=on_sample)
+            else:
+                from .integrators.dispatch import render_with
+                film = render_with(scene, cfg, spp=args.SPP, film=film,
+                                   on_sample=on_sample)
     except StopIteration:
         log.info("time budget reached")
         film = state.get("film", film)
@@ -164,16 +182,29 @@ def main(argv=None) -> int:
 
         from .imaging.denoise import denoise as dn
         from .integrators import aov
-        aov_cfg = RenderConfig(jitter=False, seed=cfg.seed)
-        guide_key = _jax.random.PRNGKey(cfg.seed)
-        alb = aov.albedo_image(scene, guide_key, aov_cfg)
-        nrm = aov.normals_image(scene, guide_key, aov_cfg)
-        img = np.asarray(dn(img, albedo=alb, normal=nrm))
-    write_hdr(args.outputFilename, img)
+        with (prof.phase("denoise") if prof is not None
+              else contextlib.nullcontext()):
+            aov_cfg = RenderConfig(jitter=False, seed=cfg.seed)
+            guide_key = _jax.random.PRNGKey(cfg.seed)
+            alb = aov.albedo_image(scene, guide_key, aov_cfg)
+            nrm = aov.normals_image(scene, guide_key, aov_cfg)
+            img = np.asarray(dn(img, albedo=alb, normal=nrm))
+    with (prof.phase("write") if prof is not None
+          else contextlib.nullcontext()):
+        write_hdr(args.outputFilename, img)
     log.info("wrote %s (%d spp, mean %.4f)", args.outputFilename,
              int(film.spp), float(img.mean()))
     if args.checkpoint:
         save_film(args.checkpoint, film)
+    if prof is not None:
+        from .utils.profiling import device_memory_stats
+        h, w = img.shape[:2]
+        log.info("phase report:\n%s",
+                 prof.report(rays=h * w * int(film.spp)))
+        mem = device_memory_stats()
+        if mem:
+            log.info("device memory: %s",
+                     {k: v for k, v in mem.items() if "bytes" in k})
     return 0
 
 

@@ -40,6 +40,20 @@ class RenderConfig:
     # render() fills it in from the material table so jit only compiles
     # the BSDF lobes the scene uses (see materials/bsdf.py:_has).
     mat_types: Optional[Tuple[int, ...]] = None
+    # Geometry (vertex-position) gradients: re-solve the hit's (t, u, v)
+    # differentiably from the detached triangle id and attach it
+    # straight-through (primal unchanged), so hit positions, frames and
+    # NEE geometry terms carry d/d(vertex) — the interior term of the
+    # differentiable-rendering integral.  Silhouette/visibility boundary
+    # terms are out of scope (see diff.py).  Off by default: forward
+    # renders shouldn't pay the extra per-hit vertex gathers; diff.py
+    # turns it on for its parameter surface.
+    geom_grads: bool = False
+    # Wavefront mode (integrators/wavefront.py): host-level bounce loop
+    # with live-ray compaction.  None = auto (on for BVH-scale scenes in
+    # plain forward renders; the differentiable/sharded/adaptive paths
+    # keep the in-device scan).  Estimator-identical to scan mode.
+    wavefront: Optional[bool] = None
     # Rematerialized backward (SURVEY §5 "recompute/checkpointed
     # backward"): checkpoint the bounce body saving ONLY the traversal
     # results (hit ids/t/barycentrics + occlusion bits), so reverse-mode

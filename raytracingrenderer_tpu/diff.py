@@ -30,18 +30,31 @@ def _split_scene(scene: Scene):
     """Split the scene into (differentiable params, static rest).
 
     Parameter surface: material albedo/emission/roughness, light
-    radiance, and (when present) the environment-map texel radiance.
-    Roughness gradients flow through the reparameterized GGX sample
-    (wi is a smooth function of alpha) plus the eval/pdf terms; envmap
-    gradients flow through the radiance gather while its alias/pdf
-    tables stay a fixed (detached) sampling distribution — the standard
-    unbiased detached-light-sampling estimator.
+    radiance, vertex positions, and (when present) the environment-map
+    texel radiance.  Roughness gradients flow through the
+    reparameterized GGX sample (wi is a smooth function of alpha) plus
+    the eval/pdf terms; envmap gradients flow through the radiance
+    gather while its alias/pdf tables stay a fixed (detached) sampling
+    distribution — the standard unbiased detached-light-sampling
+    estimator.
+
+    Geometry gradients (tri_p0, the per-triangle anchor vertex; edges
+    e1/e2 are a rigid translation away for whole-object moves) cover
+    the INTERIOR term of the rendering integral via the hit-point
+    reparameterization in integrators.common.shading_data (cfg must set
+    geom_grads=True — train_step/param_grads do).  Silhouette/visibility
+    BOUNDARY terms (the edge integral of Li et al.-style differentiable
+    rendering) are an explicit descope: hit ids and occlusion bits stay
+    detached, so a gradient step never sees radiance jumping across a
+    moving silhouette.  FD checks must therefore probe losses dominated
+    by interior pixels (tests/test_diff.py does).
     """
     params = dict(
         albedo=scene.materials.albedo,
         emission=scene.materials.emission,
         alpha=scene.materials.alpha,
         light_le=scene.lights.le,
+        tri_p0=scene.triangles.p0,
     )
     env = getattr(scene.background, "envmap", None)
     if env is not None:
@@ -54,7 +67,8 @@ def _merge_scene(params, scene: Scene) -> Scene:
                                     emission=params["emission"],
                                     alpha=params["alpha"])
     lights = scene.lights._replace(le=params["light_le"])
-    out = scene._replace(materials=mats, lights=lights)
+    tris = scene.triangles._replace(p0=params["tri_p0"])
+    out = scene._replace(materials=mats, lights=lights, triangles=tris)
     if "env_data" in params:
         from .lights.envmap import with_data
         from .scene.types import make_background
@@ -83,17 +97,26 @@ def _train_step_impl(scene: Scene, target: jax.Array, key,
     return _merge_scene(new_params, scene), loss
 
 
+def _diff_cfg(cfg: RenderConfig, scene: Scene) -> RenderConfig:
+    import dataclasses
+
+    from .render import specialize_config
+    return dataclasses.replace(specialize_config(cfg, scene),
+                               geom_grads=True)
+
+
 def train_step(scene: Scene, target: jax.Array, key, cfg: RenderConfig,
                lr: float = 0.1) -> Tuple[Scene, jax.Array]:
-    """One SGD step on (albedo, emission, light Le).
+    """One SGD step on (albedo, emission, roughness, light Le, vertex
+    positions, envmap).
 
     Specializes cfg.mat_types to the scene's material set before jit —
     compiling all 7 lobe families through fwd+bwd costs minutes of XLA
-    time (see render.specialize_config).
+    time (see render.specialize_config).  Note: a step that moves
+    vertex positions leaves the BVH stale — callers optimizing geometry
+    should rebuild/refit it periodically (host-side, scene load path).
     """
-    from .render import specialize_config
-    return _train_step_impl(scene, target, key,
-                            specialize_config(cfg, scene), lr)
+    return _train_step_impl(scene, target, key, _diff_cfg(cfg, scene), lr)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -105,6 +128,4 @@ def _param_grads_impl(scene: Scene, target: jax.Array, key,
 
 def param_grads(scene: Scene, target: jax.Array, key, cfg: RenderConfig):
     """Gradients only (for gradient-check tests vs finite differences)."""
-    from .render import specialize_config
-    return _param_grads_impl(scene, target, key,
-                             specialize_config(cfg, scene))
+    return _param_grads_impl(scene, target, key, _diff_cfg(cfg, scene))

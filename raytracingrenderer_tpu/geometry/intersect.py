@@ -357,11 +357,14 @@ def _sorted_call(scene, o: V3, d: V3, active, payload, fn):
     return jax.tree_util.tree_map(lambda a: a[inv], out)
 
 
-def closest_hit(scene, o: V3, d: V3, active=None) -> Hit:
+def closest_hit(scene, o: V3, d: V3, active=None,
+                presorted: bool = False) -> Hit:
     """Scene-level dispatch (reference Scene::traverse, Scene.h:107-130).
 
     `active` marks live lanes; inactive lanes return misses without
-    paying traversal (their search radius is negative).
+    paying traversal (their search radius is negative).  `presorted`
+    promises the caller already coherence-sorted the batch (wavefront
+    mode), skipping the internal sort/unsort round-trip.
 
     Outputs are stop-gradiented: hit structure (ids, t, barycentrics) is
     discrete path structure under the detached-sampling differentiation
@@ -382,12 +385,16 @@ def closest_hit(scene, o: V3, d: V3, active=None) -> Hit:
         return jax.tree_util.tree_map(jax.lax.stop_gradient, h)
     if scene.bvh is not None and scene.triangles.count > 64:
         if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
-            act = (jnp.ones(n, bool) if active is None
-                   else jax.lax.stop_gradient(active))
-            h = _sorted_call(
-                scene, o, d, act, (t_init,),
-                lambda so, sd, st: bvh_kernel.traverse_packet(
-                    scene.bvh, tris, so, sd, st))
+            if presorted:
+                h = bvh_kernel.traverse_packet(scene.bvh, tris, o, d,
+                                               t_init)
+            else:
+                act = (jnp.ones(n, bool) if active is None
+                       else jax.lax.stop_gradient(active))
+                h = _sorted_call(
+                    scene, o, d, act, (t_init,),
+                    lambda so, sd, st: bvh_kernel.traverse_packet(
+                        scene.bvh, tris, so, sd, st))
             h = h._replace(t=jnp.where(h.tri >= 0, h.t, BIG_T))
         else:
             h = _traverse_stackless(scene.bvh, tris, o, d, t_init, False,
@@ -424,10 +431,14 @@ def _packet_fits(bvh, tris) -> bool:
             and bvh_kernel.table_bytes(bvh, tris) <= _PACKET_TABLE_BYTES)
 
 
-def occluded(scene, o: V3, d: V3, max_t: jax.Array) -> jax.Array:
+def occluded(scene, o: V3, d: V3, max_t: jax.Array,
+             presorted: bool = False) -> jax.Array:
     """Scene-level any-hit (reference Scene::visible, Scene.h:161-169).
     Boolean visibility is non-differentiable by nature; stop-gradiented.
-    Lanes with max_t < 0 are inactive and skip traversal."""
+    Lanes with max_t < 0 are inactive and skip traversal.  `presorted`:
+    the caller's batch is already origin-coherent (wavefront mode) —
+    shadow rays inherit the hit points' sort, so the extra sort+unsort
+    buys little and is skipped."""
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     max_t = jax.lax.stop_gradient(max_t)
@@ -441,6 +452,9 @@ def occluded(scene, o: V3, d: V3, max_t: jax.Array) -> jax.Array:
                                     any_hit=True).tri >= 0)
     if scene.bvh is not None and scene.triangles.count > 64:
         if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
+            if presorted:
+                return tag(bvh_kernel.traverse_packet(
+                    scene.bvh, tris, o, d, max_t, any_hit=True).tri >= 0)
             return tag(_sorted_call(
                 scene, o, d, max_t > 0.0, (max_t,),
                 lambda so, sd, st: bvh_kernel.traverse_packet(

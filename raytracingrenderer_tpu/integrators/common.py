@@ -36,16 +36,18 @@ class Shading(NamedTuple):
     light_id: jax.Array  # light-table row if the hit triangle is emissive
 
 
-def _packed_attrs(scene: Scene) -> jax.Array:
+def pack_attrs(tris, m) -> jax.Array:
     """(T, 38) per-triangle attribute matrix: shading normals, geometric
     normal, uvs, light id, and the triangle's material row pre-joined.
 
     One packed row fetch per hit replaces ~25 separate small gathers —
     see ops/gather.py for why that matters on TPU.  Built from the SoA
     each trace; it is loop-invariant so XLA hoists it out of the bounce
-    scan, and at (T, 38) f32 it is small besides.
+    scan, and at (T, 38) f32 it is small besides.  Scene-sharded mode
+    precomputes this at load and shards it over the mesh
+    (parallel/scene_shard.py), which is why it is a free function of
+    (triangles, materials) rather than of the scene.
     """
-    tris, m = scene.triangles, scene.materials
     f32 = lambda a: a.astype(jnp.float32)
     mat_rows = jnp.stack([
         f32(m.mtype), m.albedo.x, m.albedo.y, m.albedo.z,
@@ -67,15 +69,47 @@ def _packed_attrs(scene: Scene) -> jax.Array:
     return jnp.concatenate([tri_rows, per_tri_mat], axis=-1)
 
 
-def shading_data(scene: Scene, hit: Hit, o: V3, d: V3) -> Shading:
+def shading_data(scene: Scene, hit: Hit, o: V3, d: V3,
+                 geom_grads: bool = False) -> Shading:
     """Interpolate attributes at the hit (reference Scene.h:174-203:
-    barycentric normal/uv, two-sided flip toward wo, frame build)."""
+    barycentric normal/uv, two-sided flip toward wo, frame build).
+
+    With `geom_grads`, the hit solution (t, beta, gamma) is re-solved
+    differentiably from the (detached) triangle id via Moller-Trumbore
+    on the UN-detached vertex arrays and attached straight-through: the
+    primal keeps the kernel's values bit-exactly, while gradients see
+    d(t,b,g)/d(vertex positions) — the hit-point reparameterization that
+    makes positions, frames, and NEE geometry terms differentiable
+    w.r.t. scene geometry (interior term only; silhouette boundary
+    integrals are a documented descope, diff.py)."""
     from ..ops.gather import gather_rows
+    from ..parallel.scene_shard import ShardedBVH, gather_attrs_sharded
     tri = jnp.maximum(hit.tri, 0)
     beta = hit.u
     gamma = hit.v
+    t_hit = hit.t
+    sharded_attrs = (isinstance(scene.bvh, ShardedBVH)
+                     and scene.bvh.attrs is not None)
+    if geom_grads and sharded_attrs:
+        # scene-sharded mode keeps only a 1-row triangle stub on device;
+        # vertex-position gradients need the replicated SoA
+        raise NotImplementedError(
+            "geom_grads requires a replicated triangle SoA "
+            "(scene_shards=0)")
+    if geom_grads:
+        from ..geometry.intersect import _mt_test
+        t_r, u_r, v_r, _ = _mt_test(scene.triangles, tri, o, d)
+        att = lambda a, r: a + (r - jax.lax.stop_gradient(r))
+        t_hit = att(t_hit, t_r)
+        beta = att(beta, u_r)
+        gamma = att(gamma, v_r)
     alpha = 1.0 - beta - gamma
-    rows = gather_rows(_packed_attrs(scene), tri)   # (N, 38)
+    if sharded_attrs:
+        # attribute tables sharded by primitive: gather-by-owner + psum
+        rows = gather_attrs_sharded(scene.bvh, tri)
+    else:
+        rows = gather_rows(pack_attrs(scene.triangles, scene.materials),
+                           tri)                     # (N, 38)
     col = lambda i: rows[:, i]
     v3 = lambda i: V3(rows[:, i], rows[:, i + 1], rows[:, i + 2])
     n = (v3(0) * alpha + v3(3) * beta + v3(6) * gamma).normalize()
@@ -86,7 +120,7 @@ def shading_data(scene: Scene, hit: Hit, o: V3, d: V3) -> Shading:
     # (reference Triangle::gNormal semantics).
     gn = v3(9)
     light_id = col(18).astype(jnp.int32)
-    x = o + d * hit.t
+    x = o + d * t_hit
     wo = -d
     b = 19  # material columns base
     tid = col(b + 4).astype(jnp.int32)
@@ -123,7 +157,8 @@ def balance_heuristic(pdf_a, pdf_b):
 
 
 def compute_direct(scene: Scene, sh: Shading, active, r_pick, r1, r2,
-                   mis: bool, types=None, r3=None) -> V3:
+                   mis: bool, types=None, r3=None,
+                   presorted: bool = False) -> V3:
     """One-light one-sample NEE; with `mis` the light-strategy term is
     balance-weighted against the BSDF pdf (computeDirectMIS light half,
     Renderer.h:474-512).  The BSDF-strategy half lives in the bounce loop
@@ -145,6 +180,6 @@ def compute_direct(scene: Scene, sh: Shading, active, r_pick, r1, r2,
     # mask inactive lanes by zero-length rays to save traversal work
     occ = occluded(scene, shadow_o,
                    vwhere(worth, ls.wi, V3.full(jnp.shape(r1), 0.0, 0.0, 1.0)),
-                   jnp.where(worth, max_t, -1.0))
+                   jnp.where(worth, max_t, -1.0), presorted=presorted)
     lit = worth & ~occ
     return vwhere(lit, contrib, V3.zeros(jnp.shape(r1)))

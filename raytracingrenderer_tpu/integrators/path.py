@@ -19,6 +19,11 @@ Differences by design (SURVEY.md §7 "behavior-aware, not bug-faithful"):
 - Emission is one-sided (consistent with AreaLight::evaluate and the NEE
   cos_light clamp; the reference's emissive-hit path is two-sided).
 
+Every random decision is keyed by the ray's PIXEL id (rng.uniform_ids),
+not its lane position, so the same state dict drives both this scan-mode
+integrator and the compacting wavefront integrator (wavefront.py) with
+bit-identical estimates.
+
 The whole estimator is differentiable w.r.t. scene parameters: hit
 structure (triangle ids, barycentrics) is stop-gradiented discrete
 structure; radiometric quantities flow.
@@ -40,16 +45,14 @@ from ..scene.types import Scene
 from .common import Shading, balance_heuristic, compute_direct, shading_data
 
 
-def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
-                   cfg: RenderConfig) -> V3:
-    """Estimate radiance along a batch of primary rays (one sample/ray)."""
+def init_state(o: V3, d: V3) -> dict:
+    """Fresh per-ray bounce state for a batch of primary rays."""
     n = o.x.shape[0]
-    zero = V3.zeros(n)
-    one = V3.full(n, 1.0, 1.0, 1.0)
-
-    state = dict(
+    return dict(
         o=o, d=d,
-        throughput=one, radiance=zero,
+        ids=jnp.arange(n, dtype=jnp.uint32),
+        throughput=V3.full(n, 1.0, 1.0, 1.0),
+        radiance=V3.zeros(n),
         alive=jnp.ones(n, bool),
         # canHitLight=True on the primary ray and after specular bounces
         # (Renderer.h:336-344,391)
@@ -57,111 +60,134 @@ def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
         prev_pdf=jnp.zeros(n),  # solid-angle pdf of the previous BSDF draw
     )
 
-    def bounce(state, depth):
-        o, d = state["o"], state["d"]
-        alive = state["alive"]
-        beta = state["throughput"]
-        radiance = state["radiance"]
 
-        hit = intersect.closest_hit(scene, o, d, alive)
-        found = hit.valid & alive
-        missed = alive & ~hit.valid
+def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
+                cfg: RenderConfig, presorted: bool = False) -> dict:
+    """One bounce over the whole (possibly compacted) ray batch.
 
-        # ---- escaped rays: background ---------------------------------
-        bg = lights_mod.eval_background(scene, d)
-        if lights_mod.background_enabled(scene):
-            if cfg.mis:
-                # MIS counterweight for the env light reached by BSDF
-                # sampling.
-                n_l = lights_mod.num_lights(scene)
-                pdf_l = lights_mod.background_pdf(scene, d) / max(n_l, 1)
-                w_bg = jnp.where(
-                    state["can_hit_light"], 1.0,
-                    balance_heuristic(state["prev_pdf"], pdf_l))
-            else:
-                # canHitLight gating, as for area lights: NEE already
-                # accounted for the env at the previous vertex.  (The
-                # reference adds the background unconditionally AND
-                # un-weighted by throughput, Renderer.h:390 — a double
-                # count; not reproduced.)
-                w_bg = state["can_hit_light"].astype(jnp.float32)
-        else:
-            w_bg = jnp.ones(n)  # pure miss colour, not a sampled light
-        radiance = radiance + vwhere(missed, beta * bg * w_bg, zero)
+    `depth` may be a traced scalar.  With `presorted`, the batch is
+    already coherence-sorted (wavefront mode) and the intersection
+    dispatch skips its internal sort/unsort round-trips.
+    """
+    n = state["o"].x.shape[0]
+    zero = V3.zeros(n)
+    o, d = state["o"], state["d"]
+    ids = state["ids"]
+    alive = state["alive"]
+    beta = state["throughput"]
+    radiance = state["radiance"]
 
-        sh = shading_data(scene, hit, o, d)
+    hit = intersect.closest_hit(scene, o, d, alive, presorted=presorted)
+    found = hit.valid & alive
+    missed = alive & ~hit.valid
 
-        # ---- emissive hit: add Le, terminate --------------------------
-        # One-sided via the canonical gn (AreaLight::evaluate); the
-        # flipped gn is vacuously front-facing and would emit the back.
-        hit_le = sh.mp.emission
-        one_sided = d.dot(sh.gn_raw) < 0.0
-        is_light = found & sh.mp.is_emissive
+    # ---- escaped rays: background -------------------------------------
+    bg = lights_mod.eval_background(scene, d)
+    if lights_mod.background_enabled(scene):
         if cfg.mis:
-            pdf_l = lights_mod.hit_light_pdf_solid(
-                scene, sh.light_id, o, sh.x, sh.gn_raw)
-            w_le = jnp.where(state["can_hit_light"], 1.0,
-                             balance_heuristic(state["prev_pdf"], pdf_l))
+            # MIS counterweight for the env light reached by BSDF
+            # sampling.
+            n_l = lights_mod.num_lights(scene)
+            pdf_l = lights_mod.background_pdf(scene, d) / max(n_l, 1)
+            w_bg = jnp.where(
+                state["can_hit_light"], 1.0,
+                balance_heuristic(state["prev_pdf"], pdf_l))
         else:
-            w_le = state["can_hit_light"].astype(jnp.float32)
-        add_le = is_light & one_sided
-        if not cfg.debug_no_emission:
-            radiance = radiance + vwhere(add_le, beta * hit_le * w_le,
-                                         zero)
+            # canHitLight gating, as for area lights: NEE already
+            # accounted for the env at the previous vertex.  (The
+            # reference adds the background unconditionally AND
+            # un-weighted by throughput, Renderer.h:390 — a double
+            # count; not reproduced.)
+            w_bg = state["can_hit_light"].astype(jnp.float32)
+    else:
+        w_bg = jnp.ones(n)  # pure miss colour, not a sampled light
+    radiance = radiance + vwhere(missed, beta * bg * w_bg, zero)
 
-        shade = found & ~is_light  # reference terminates on lights
+    sh = shading_data(scene, hit, o, d, geom_grads=cfg.geom_grads)
 
-        # ---- NEE ------------------------------------------------------
-        skey = rng.decision_key(key, depth, 0)
-        r_pick = rng.uniform(key, depth, rng.LIGHT_PICK, (n,))
-        r_lu = rng.uniform(key, depth, rng.LIGHT_POS_U, (n,))
-        r_lv = rng.uniform(key, depth, rng.LIGHT_POS_V, (n,))
-        r_aux = rng.uniform(key, depth, rng.LIGHT_AUX, (n,))
-        direct = compute_direct(scene, sh, shade, r_pick, r_lu, r_lv,
-                                cfg.mis, cfg.mat_types, r3=r_aux)
-        if not cfg.debug_no_nee:
-            radiance = radiance + beta * direct
+    # ---- emissive hit: add Le, terminate ------------------------------
+    # One-sided via the canonical gn (AreaLight::evaluate); the
+    # flipped gn is vacuously front-facing and would emit the back.
+    hit_le = sh.mp.emission
+    one_sided = d.dot(sh.gn_raw) < 0.0
+    is_light = found & sh.mp.is_emissive
+    if cfg.mis:
+        pdf_l = lights_mod.hit_light_pdf_solid(
+            scene, sh.light_id, o, sh.x, sh.gn_raw)
+        w_le = jnp.where(state["can_hit_light"], 1.0,
+                         balance_heuristic(state["prev_pdf"], pdf_l))
+    else:
+        w_le = state["can_hit_light"].astype(jnp.float32)
+    add_le = is_light & one_sided
+    if not cfg.debug_no_emission:
+        radiance = radiance + vwhere(add_le, beta * hit_le * w_le, zero)
 
-        # ---- depth cutoff / RR / BSDF continuation --------------------
-        cont = shade & (depth <= cfg.max_depth)
-        if cfg.rr:
-            # The survival probability is part of the *sampling*
-            # distribution: stop-gradient it (detached estimator), else
-            # the 1/p weight leaks a spurious gradient term.
-            rr_p = jax.lax.stop_gradient(
-                jnp.minimum(beta.lum(), cfg.rr_cap))
-            r_rr = rng.uniform(key, depth, rng.RR, (n,))
-            survive = cont & (r_rr < rr_p)
-            beta = vwhere(survive, beta / jnp.maximum(rr_p, 1e-9), beta)
-        else:
-            survive = cont
+    shade = found & ~is_light  # reference terminates on lights
 
-        r1 = rng.uniform(key, depth, rng.BSDF_U, (n,))
-        r2 = rng.uniform(key, depth, rng.BSDF_V, (n,))
-        rl = rng.uniform(key, depth, rng.BSDF_LOBE, (n,))
-        wi_local, colour, pdf, ok = bsdf_mod.sample(
-            sh.mp, sh.wo_local, r1, r2, rl, cfg.mat_types)
-        specular = bsdf_mod.is_specular(sh.mp.mtype)
-        # throughput update (Renderer.h:362-374): specular lanes skip the
-        # cosine (their colour/pdf already account for it)
-        cos_term = jnp.where(specular, 1.0, jnp.abs(wi_local.z))
-        weight = colour * (cos_term / jnp.maximum(pdf, 1e-9))
-        alive_next = survive & ok & (weight.max_comp() > 0.0)
-        beta = vwhere(alive_next, beta * weight, beta)
+    # ---- NEE -----------------------------------------------------------
+    r_pick = rng.uniform_ids(key, depth, rng.LIGHT_PICK, ids)
+    r_lu = rng.uniform_ids(key, depth, rng.LIGHT_POS_U, ids)
+    r_lv = rng.uniform_ids(key, depth, rng.LIGHT_POS_V, ids)
+    r_aux = rng.uniform_ids(key, depth, rng.LIGHT_AUX, ids)
+    # shadow rays are NOT presorted even in wavefront mode: their
+    # coherence key includes the shadow DIRECTION octant, and the
+    # direction toward the light differs from the bounce ray's —
+    # measured 74 ms sorted vs ~500 ms unsorted on bathroom
+    # (scripts/profile_wavefront.py)
+    direct = compute_direct(scene, sh, shade, r_pick, r_lu, r_lv,
+                            cfg.mis, cfg.mat_types, r3=r_aux)
+    if not cfg.debug_no_nee:
+        radiance = radiance + beta * direct
 
-        wi = sh.frame.to_world(wi_local)
-        new_o = sh.x + wi * EPSILON
-        new_state = dict(
-            o=vwhere(alive_next, new_o, o),
-            d=vwhere(alive_next, wi, d),
-            throughput=beta,
-            radiance=radiance,
-            alive=alive_next,
-            can_hit_light=jnp.where(alive_next, specular,
-                                    state["can_hit_light"]),
-            prev_pdf=jnp.where(alive_next, pdf, state["prev_pdf"]),
-        )
-        return new_state, None
+    # ---- depth cutoff / RR / BSDF continuation -------------------------
+    cont = shade & (depth <= cfg.max_depth)
+    if cfg.rr:
+        # The survival probability is part of the *sampling*
+        # distribution: stop-gradient it (detached estimator), else
+        # the 1/p weight leaks a spurious gradient term.
+        rr_p = jax.lax.stop_gradient(
+            jnp.minimum(beta.lum(), cfg.rr_cap))
+        r_rr = rng.uniform_ids(key, depth, rng.RR, ids)
+        survive = cont & (r_rr < rr_p)
+        beta = vwhere(survive, beta / jnp.maximum(rr_p, 1e-9), beta)
+    else:
+        survive = cont
+
+    r1 = rng.uniform_ids(key, depth, rng.BSDF_U, ids)
+    r2 = rng.uniform_ids(key, depth, rng.BSDF_V, ids)
+    rl = rng.uniform_ids(key, depth, rng.BSDF_LOBE, ids)
+    wi_local, colour, pdf, ok = bsdf_mod.sample(
+        sh.mp, sh.wo_local, r1, r2, rl, cfg.mat_types)
+    specular = bsdf_mod.is_specular(sh.mp.mtype)
+    # throughput update (Renderer.h:362-374): specular lanes skip the
+    # cosine (their colour/pdf already account for it)
+    cos_term = jnp.where(specular, 1.0, jnp.abs(wi_local.z))
+    weight = colour * (cos_term / jnp.maximum(pdf, 1e-9))
+    alive_next = survive & ok & (weight.max_comp() > 0.0)
+    beta = vwhere(alive_next, beta * weight, beta)
+
+    wi = sh.frame.to_world(wi_local)
+    new_o = sh.x + wi * EPSILON
+    return dict(
+        o=vwhere(alive_next, new_o, o),
+        d=vwhere(alive_next, wi, d),
+        ids=ids,
+        throughput=beta,
+        radiance=radiance,
+        alive=alive_next,
+        can_hit_light=jnp.where(alive_next, specular,
+                                state["can_hit_light"]),
+        prev_pdf=jnp.where(alive_next, pdf, state["prev_pdf"]),
+    )
+
+
+def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,
+                   cfg: RenderConfig) -> V3:
+    """Estimate radiance along a batch of primary rays (one sample/ray)."""
+    state = init_state(o, d)
+
+    def bounce(state, depth):
+        return bounce_step(scene, state, depth, key, cfg), None
 
     n_bounces = cfg.max_depth + 2  # depths 0..max_depth+1 (see docstring)
     body = bounce

@@ -88,14 +88,13 @@ def trace_vpls(scene: Scene, key, cfg: RenderConfig,
 
     if n_area:
         li = jnp.minimum(pick, n_area - 1)
-        tri = scene.lights.tri[li]
-        tris = scene.triangles
+        lt = scene.lights
         _, b, g = warps.uniform_triangle(r1, r2)
-        p_a = tris.p0.gather(tri) + tris.e1.gather(tri) * b \
-            + tris.e2.gather(tri) * g
-        ln_a = tris.gn.gather(tri)
-        pdf_pos_a = 1.0 / jnp.maximum(scene.lights.area[li], 1e-12)
-        le_a = scene.lights.le.gather(li)
+        p_a = lt.p0.gather(li) + lt.e1.gather(li) * b \
+            + lt.e2.gather(li) * g
+        ln_a = lt.gn.gather(li)
+        pdf_pos_a = 1.0 / jnp.maximum(lt.area[li], 1e-12)
+        le_a = lt.le.gather(li)
     else:
         p_a = V3.zeros(n)
         ln_a = V3.full(n, 0.0, 0.0, 1.0)

@@ -93,17 +93,15 @@ def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
 
     if n_area:
         li = jnp.minimum(pick, n_area - 1)
-        tri = scene.lights.tri[li]
-        tris = scene.triangles
+        lt = scene.lights
         a, b, g = warps.uniform_triangle(r1, r2)
-        p0 = tris.p0.gather(tri)
-        e1 = tris.e1.gather(tri)
-        e2 = tris.e2.gather(tri)
         # point = v0*alpha + v1*beta + v2*gamma = p0 + e1*beta + e2*gamma
-        p = p0 + e1 * b + e2 * g
-        le = scene.lights.le.gather(li)
-        area = scene.lights.area[li]
-        ln = tris.gn.gather(tri)
+        # (emitter geometry lives in the light table — no triangle-SoA
+        # gathers on the NEE path)
+        p = lt.p0.gather(li) + lt.e1.gather(li) * b + lt.e2.gather(li) * g
+        le = lt.le.gather(li)
+        area = lt.area[li]
+        ln = lt.gn.gather(li)
         to_l = p - x
         d2 = jnp.maximum(to_l.length_sq(), 1e-12)
         dist = jnp.sqrt(d2)

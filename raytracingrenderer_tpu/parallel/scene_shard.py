@@ -47,7 +47,8 @@ class ShardedBVH:
 
     def __init__(self, lo, hi, right, start, count, skip,
                  p0: V3, e1: V3, e2: V3,
-                 leaf_max: int, n_shards: int, shard_size: int):
+                 leaf_max: int, n_shards: int, shard_size: int,
+                 attrs=None):
         self.lo = lo          # (D, B, 3)
         self.hi = hi          # (D, B, 3)
         self.right = right    # (D, B)
@@ -57,19 +58,26 @@ class ShardedBVH:
         self.p0 = p0          # V3 of (D, S)
         self.e1 = e1
         self.e2 = e2
+        # (D, S, 38) packed shading-attribute rows
+        # (integrators.common.pack_attrs layout), sharded with the
+        # geometry so the full-scene attribute table never lives on one
+        # device either — with this, NO per-triangle array is replicated
+        # in scene-sharded mode (the Scene carries a 1-row stub SoA).
+        self.attrs = attrs
         self.leaf_max = int(leaf_max)
         self.n_shards = int(n_shards)
         self.shard_size = int(shard_size)
 
     def tree_flatten(self):
         return ((self.lo, self.hi, self.right, self.start, self.count,
-                 self.skip, self.p0, self.e1, self.e2),
+                 self.skip, self.p0, self.e1, self.e2, self.attrs),
                 (self.leaf_max, self.n_shards, self.shard_size))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, leaf_max=aux[0], n_shards=aux[1],
-                   shard_size=aux[2])
+        *rest, attrs = children
+        return cls(*rest, leaf_max=aux[0], n_shards=aux[1],
+                   shard_size=aux[2], attrs=attrs)
 
 
 def build_sharded(tp: np.ndarray, n_shards: int, max_leaf: int = 14
@@ -97,11 +105,23 @@ def build_sharded(tp: np.ndarray, n_shards: int, max_leaf: int = 14
     for i in range(n_shards):
         ids = padded[i * shard:(i + 1) * shard]
         ids = ids[ids >= 0]
-        chunk = tp[ids] if len(ids) else np.zeros((0, 3, 3), np.float32)
-        sub, sub_order = bvh_native.build(chunk, max_leaf=max_leaf)
-        # reorder the chunk by the sub-build's own order
-        ids = ids[sub_order] if len(ids) else ids
-        padded[i * shard:i * shard + len(ids)] = ids
+        if len(ids):
+            sub, sub_order = bvh_native.build(tp[ids], max_leaf=max_leaf)
+            # reorder the chunk by the sub-build's own order
+            ids = ids[sub_order]
+            padded[i * shard:i * shard + len(ids)] = ids
+        else:
+            # empty shard (n_shards > triangle count): one explicit
+            # never-hit leaf instead of trusting the native builder's
+            # undefined n=0 behavior (advisor r2 finding)
+            from ..scene.types import BVH
+            sub = BVH(lo=jnp.full((1, 3), np.inf),
+                      hi=jnp.full((1, 3), -np.inf),
+                      right=jnp.full(1, -1, jnp.int32),
+                      start=jnp.zeros(1, jnp.int32),
+                      count=jnp.zeros(1, jnp.int32),
+                      skip=jnp.ones(1, jnp.int32),
+                      leaf_max=1, depth=1)
         v = tp[ids] if len(ids) else np.zeros((0, 3, 3), np.float32)
         p0[i, :len(ids)] = v[:, 0]
         e1[i, :len(ids)] = v[:, 1] - v[:, 0]
@@ -144,6 +164,52 @@ def place_sharded(sb: ShardedBVH, mesh: Mesh) -> ShardedBVH:
     """Shard every leading axis over the mesh (the HBM win)."""
     s = NamedSharding(mesh, P(RAY_AXIS))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), sb)
+
+
+def attach_attrs(sb: ShardedBVH, tris, materials) -> ShardedBVH:
+    """Pack + shard the shading-attribute table (load time).
+
+    `tris` is the PADDED, globally-ordered triangle SoA (the same order
+    traverse_sharded's global ids index)."""
+    from ..integrators.common import pack_attrs
+    attrs = pack_attrs(tris, materials)          # (D*S, 38)
+    attrs = attrs.reshape(sb.n_shards, sb.shard_size, attrs.shape[-1])
+    return ShardedBVH(sb.lo, sb.hi, sb.right, sb.start, sb.count,
+                      sb.skip, sb.p0, sb.e1, sb.e2,
+                      leaf_max=sb.leaf_max, n_shards=sb.n_shards,
+                      shard_size=sb.shard_size, attrs=attrs)
+
+
+def stub_triangles(tris) -> "Triangles":
+    """1-row stand-in for the replicated triangle SoA: in scene-sharded
+    mode every per-triangle consumer reads either the sharded traversal
+    geometry (ShardedBVH), the sharded attribute rows (attrs), or the
+    light table's own emitter geometry — so the full SoA (~29 floats x T)
+    need not exist on any device.  Keeping one row preserves shapes for
+    code that merely inspects dtypes/structure."""
+    return jax.tree_util.tree_map(lambda a: a[:1], tris)
+
+
+def gather_attrs_sharded(sb: ShardedBVH, tri, mesh: Mesh = None):
+    """(N,) global triangle ids -> (N, 38) attribute rows via
+    gather-by-owner: each shard serves the rows it owns and a psum
+    merges them (SURVEY §2.11 scene-sharding; the collective replaces a
+    replicated-table gather at n_shards x less HBM per device)."""
+    mesh = mesh or make_mesh(sb.n_shards)
+    shard = sb.shard_size
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(RAY_AXIS), P()), out_specs=P(), check_vma=False)
+    def run(attrs_local, tri):
+        idx = jax.lax.axis_index(RAY_AXIS)
+        owner = tri // shard
+        local = jnp.clip(tri - idx * shard, 0, shard - 1)
+        rows = attrs_local[0][local]             # (N, 38)
+        rows = jnp.where((owner == idx)[:, None], rows, 0.0)
+        return jax.lax.psum(rows, RAY_AXIS)
+
+    return run(sb.attrs, tri)
 
 
 def _local_tris(sb: ShardedBVH) -> Triangles:

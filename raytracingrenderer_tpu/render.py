@@ -81,6 +81,11 @@ def _render_pass(scene: Scene, film: film_mod.Film, key: jax.Array,
     return film_mod.add_sample_image(film, img)
 
 
+@jax.jit
+def _add_image_jit(film: film_mod.Film, img: jax.Array):
+    return film_mod.add_sample_image(film, img)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n"))
 def _render_chunk(scene: Scene, film: film_mod.Film, base: jax.Array,
                   start: jax.Array, cfg: RenderConfig, n: int):
@@ -96,6 +101,20 @@ def _render_chunk(scene: Scene, film: film_mod.Film, base: jax.Array,
 
     film, _ = jax.lax.scan(step, film, start + jnp.arange(n))
     return film
+
+
+def _use_wavefront(scene: Scene, cfg: RenderConfig) -> bool:
+    """Auto policy for the compacting wavefront integrator: worth its
+    host-loop dispatches once per-bounce device time dominates (BVH-scale
+    scenes); the packet-kernel dispatch is what it accelerates."""
+    if cfg.wavefront is not None:
+        return cfg.wavefront
+    if isinstance(scene.triangles.p0.x, jax.core.Tracer):
+        return False
+    from .parallel.scene_shard import ShardedBVH
+    return (scene.bvh is not None
+            and not isinstance(scene.bvh, ShardedBVH)
+            and scene.triangles.count > 4096)
 
 
 def render(scene: Scene, cfg: Optional[RenderConfig] = None,
@@ -115,6 +134,16 @@ def render(scene: Scene, cfg: Optional[RenderConfig] = None,
         film = film_mod.new_film(cam.height, cam.width)
     base = jax.random.PRNGKey(cfg.seed)
     start = int(np.asarray(film.spp))
+    if _use_wavefront(scene, cfg):
+        from .integrators.wavefront import sample_image_wavefront
+        for s in range(start, start + spp):
+            key = rng.spp_key(base, s)
+            img = sample_image_wavefront(scene, key, cfg)
+            film = _add_image_jit(film, img)
+            film.buffer.block_until_ready()
+            if on_sample is not None:
+                on_sample(s, film)
+        return film
     if on_sample is not None:
         # Progressive path: one dispatch per sample so the caller sees
         # every accumulation step (preview / checkpoint cadence).

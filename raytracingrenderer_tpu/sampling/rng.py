@@ -41,3 +41,31 @@ def uniform(key: jax.Array, bounce, decision: int, shape) -> jax.Array:
     """U[0,1) array of `shape` for one decision point of one bounce."""
     return jax.random.uniform(decision_key(key, bounce, decision), shape,
                               dtype=jnp.float32)
+
+
+def uniform_ids(key: jax.Array, bounce, decision: int,
+                ids: jax.Array) -> jax.Array:
+    """U[0,1) per lane, keyed by the lane's PIXEL id instead of its
+    position: one threefry block per (key, bounce, decision, pixel).
+
+    This makes every stream invariant under lane permutation, so the
+    wavefront integrator's sort + live-ray compaction (and any ray
+    resharding) is bit-transparent — the per-pixel estimate is the same
+    whether a ray is traced at lane 3 or lane 300000.
+
+    Counter layout matters: threefry_2x32 hashes counter lanes in PAIRS
+    (lane i with lane i+n/2), so hashing the raw ids array would couple
+    a lane's value to whatever id happens to sit a half-array away.
+    Instead each lane's 2x32 counter block is (pixel id, bounce*16 +
+    decision) — one hash per lane, pure in that lane's id.
+    """
+    from jax.extend.random import threefry_2x32
+    n = ids.shape[0]
+    kd = jax.random.key_data(key).reshape(2).astype(jnp.uint32)
+    hi = jnp.broadcast_to(
+        (jnp.uint32(bounce) * jnp.uint32(_NUM_DECISIONS)
+         + jnp.uint32(decision)), (n,))
+    bits = threefry_2x32(kd, jnp.concatenate(
+        [ids.astype(jnp.uint32), hi]))[:n]
+    # top 24 bits -> [0, 1) with a full float32 mantissa
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)

@@ -334,7 +334,9 @@ def load_scene(scene_dir: str, build_bvh: bool = True,
     lights = LightTable(
         tri=jnp.asarray(light_tri), le=v3_from_np(light_le),
         area=jnp.asarray(light_area),
-        power=jnp.asarray(lum * light_area, jnp.float32))
+        power=jnp.asarray(lum * light_area, jnp.float32),
+        p0=v3_from_np(tp[light_tri, 0]), e1=v3_from_np(e1[light_tri]),
+        e2=v3_from_np(e2[light_tri]), gn=v3_from_np(gn[light_tri]))
 
     envmap_file = _get(desc, "envmap", "")
     if envmap_file:
@@ -370,13 +372,18 @@ def load_scene(scene_dir: str, build_bvh: bool = True,
 
     bvh = None
     if build_bvh and len(tp) and scene_shards > 0:
-        from ..parallel.scene_shard import build_sharded
+        from ..parallel.scene_shard import (attach_attrs, build_sharded,
+                                            stub_triangles)
         bvh, order = build_sharded(tp, scene_shards, max_leaf=14)
         triangles = _reorder_padded(triangles, order)
         inv = np.empty(len(tp), np.int64)
         inv[order[order >= 0]] = np.nonzero(order >= 0)[0]
         lights = lights._replace(tri=jnp.asarray(inv[np.asarray(light_tri)],
                                                  jnp.int32))
+        # shard the attribute table with the geometry and drop the
+        # replicated SoA: no per-triangle array is whole on any device
+        bvh = attach_attrs(bvh, triangles, materials)
+        triangles = stub_triangles(triangles)
     elif build_bvh and len(tp):
         # native C++ binned-SAH builder when available (identical array
         # contract), Python builder as fallback/oracle.  Leaf size grows

@@ -109,11 +109,20 @@ class TextureAtlas(NamedTuple):
 class LightTable(NamedTuple):
     """Area lights: one row per emissive triangle (reference Scene.h:96-105
     builds an AreaLight per emissive Triangle*).
+
+    The table carries its own copy of the emitter geometry (p0/e1/e2/gn)
+    so light sampling never touches the full triangle SoA — one less
+    gather per NEE sample, and the SoA can be dropped entirely in
+    scene-sharded mode (parallel/scene_shard.py attribute sharding).
     """
-    tri: jax.Array   # (L,) int32 triangle index
+    tri: jax.Array   # (L,) int32 triangle index (for hit->light mapping)
     le: V3           # emitted radiance
     area: jax.Array  # (L,)
     power: jax.Array # (L,) total integrated power Lum(Le)*area*pi
+    p0: V3           # (L,) emitter vertex 0
+    e1: V3           # (L,) emitter edges
+    e2: V3
+    gn: V3           # (L,) emitter geometric normal (canonical)
 
 
 class EnvMap(NamedTuple):

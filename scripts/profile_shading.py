@@ -38,7 +38,7 @@ def main():
     jax.block_until_ready(hit.t)
     tri = jnp.maximum(hit.tri, 0)
 
-    table = jax.jit(lambda: common._packed_attrs(scene))()
+    table = jax.jit(lambda: common.pack_attrs(scene.triangles, scene.materials))()
     jax.block_until_ready(table)
     print("table shape:", table.shape)
 

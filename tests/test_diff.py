@@ -70,11 +70,46 @@ class TestGradients:
         target = jnp.zeros((24, 24, 3))
         grads = param_grads(scene, target, key, CFG)
         assert set(grads.keys()) == {"albedo", "emission", "alpha",
-                                     "light_le"}
+                                     "light_le", "tri_p0"}
         for leaf in jax.tree_util.tree_leaves(grads):
             assert bool(jnp.isfinite(leaf).all())
         # a black target pulls emission down
         assert float(grads["light_le"].x.sum()) > 0
+        # geometry gradients are live (interior reparameterization)
+        assert float(jnp.abs(grads["tri_p0"].stacked()).sum()) > 0
+
+    def test_geometry_grad_matches_fd(self, scene):
+        """Vertex-position gradients (BASELINE.json: 'geometry
+        parameters') via the straight-through hit reparameterization:
+        translate (a) the area light and (b) the floor along y; the
+        analytic gradient of an interior-crop loss must match central
+        differences.  Interior term only by design — the crop avoids
+        silhouette/shadow boundary pixels, whose edge integral is the
+        documented descope (diff.py)."""
+        import dataclasses
+        cfg = dataclasses.replace(CFG, geom_grads=True)
+        key = jax.random.PRNGKey(4)
+        tris = scene.triangles
+        gn_y = np.asarray(tris.gn.y)
+        p0y = np.asarray(tris.p0.y)
+        em = np.asarray(scene.materials.is_emissive)[
+            np.asarray(tris.mat_id)]
+        floor = jnp.asarray((np.abs(gn_y - 1) < 1e-3) & (p0y < 0.1) & ~em)
+        light = jnp.asarray(em)
+
+        def f(delta, mask):
+            p0 = tris.p0
+            p0 = type(p0)(p0.x, p0.y + jnp.where(mask, delta, 0.0), p0.z)
+            sc2 = scene._replace(triangles=tris._replace(p0=p0))
+            img = sample_image(sc2, key, cfg)
+            return jnp.mean(img[4:20, 4:20])
+
+        eps = 1e-3
+        for mask in (light, floor):
+            g = jax.grad(f)(0.0, mask)
+            fd = (f(eps, mask) - f(-eps, mask)) / (2 * eps)
+            assert float(g) == pytest.approx(float(fd), rel=0.02)
+            assert abs(float(g)) > 1e-4  # the surface actually moved
 
     def test_train_step_descends(self, scene):
         key = jax.random.PRNGKey(3)

@@ -114,6 +114,61 @@ class TestMultiProcess:
         np.testing.assert_allclose(got, expect, rtol=1e-5)
 
 
+@pytest.mark.slow
+class TestElasticRecovery:
+    """SURVEY §5 failure-detection/elastic-recovery row: a worker killed
+    mid-render is respawned from its film checkpoint and the final film
+    is bit-identical to an uninterrupted render — every sample is keyed
+    by (seed, spp index, pixel), so recovery replays nothing and loses
+    nothing."""
+
+    def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
+        from raytracingrenderer_tpu.parallel.elastic import (
+            _ckpt_spp, render_elastic)
+        from raytracingrenderer_tpu.render import render
+        scene_dir = ref_path("cornell-box")
+        out = str(tmp_path)
+        spp = 4
+        extra = ["-width", "16", "-height", "16", "-maxDepth", "2"]
+        ck0 = f"{out}/worker0.npz"
+        state = {"killed": False}
+
+        def injector(procs):
+            # fault injection: kill worker 0 (exact spawned PID) once it
+            # has checkpointed at least 1 spp but before it finishes
+            if state["killed"]:
+                return
+            p = procs.get(0)
+            if p is not None and p.poll() is None and \
+                    1 <= _ckpt_spp(ck0) < spp:
+                p.kill()
+                state["killed"] = True
+
+        f = render_elastic(scene_dir, out, n_workers=2,
+                           spp_per_worker=spp, seed=0, extra_args=extra,
+                           on_poll=injector, poll_s=0.2)
+        assert state["killed"], "fault injection never fired"
+        assert float(f.spp) == 2 * spp
+
+        # uninterrupted oracle, SAME pipeline: one fresh worker run with
+        # worker 0's seed and no fault — the killed-and-resumed film
+        # must match it bitwise (every sample is (seed, spp, pixel)
+        # keyed, and resume replays nothing)
+        out2 = str(tmp_path / "oracle")
+        f2 = render_elastic(scene_dir, out2, n_workers=1,
+                            spp_per_worker=spp, seed=0, extra_args=extra)
+        from raytracingrenderer_tpu.utils.checkpoint import load_film
+        w0 = load_film(ck0)
+        w0_oracle = load_film(f"{out2}/worker0.npz")
+        np.testing.assert_array_equal(np.asarray(w0.buffer),
+                                      np.asarray(w0_oracle.buffer))
+        # and the reduced film is exactly the sum of the worker films
+        w1 = load_film(f"{out}/worker1.npz")
+        np.testing.assert_allclose(
+            np.asarray(f.buffer),
+            np.asarray(w0.buffer) + np.asarray(w1.buffer), rtol=1e-7)
+
+
 class TestShardedLightTracer:
     def test_sharded_matches_unsharded(self):
         sc = load_scene(ref_path("cornell-box"))

@@ -139,6 +139,42 @@ class TestSceneShardingBVH:
         ob = any_hit_brute(sc_rep.triangles, o, d, max_t)
         np.testing.assert_array_equal(np.asarray(os_), np.asarray(ob))
 
+    def test_empty_shards_never_hit(self):
+        """n_shards > triangle count: empty shards get an explicit
+        never-hit leaf (advisor r2: the native builder's n=0 behavior is
+        undefined) and the merge still matches brute force."""
+        from raytracingrenderer_tpu.core.vec import V3
+        from raytracingrenderer_tpu.geometry.intersect import (
+            BIG_T, closest_hit_brute)
+        from raytracingrenderer_tpu.parallel.scene_shard import (
+            build_sharded, traverse_sharded)
+        from raytracingrenderer_tpu.scene.types import Triangles
+        rng = np.random.default_rng(3)
+        tp = rng.uniform(-1, 1, (3, 3, 3)).astype(np.float32)
+        sb, order = build_sharded(tp, n_shards=8)
+        assert (order < 0).sum() == 8 * sb.shard_size - 3
+        mesh = make_mesh(8)
+        n = 128
+        o = V3.from_stacked(jnp.asarray(
+            rng.uniform(-2, 2, (n, 3)).astype(np.float32)))
+        d = V3.from_stacked(jnp.asarray(
+            rng.standard_normal((n, 3)).astype(np.float32))).normalize()
+        hs = traverse_sharded(sb, o, d, jnp.full(n, BIG_T), mesh=mesh)
+        z = jnp.zeros(3)
+        zv = V3(z, z, z)
+        tris = Triangles(
+            p0=V3.from_stacked(jnp.asarray(tp[:, 0])),
+            e1=V3.from_stacked(jnp.asarray(tp[:, 1] - tp[:, 0])),
+            e2=V3.from_stacked(jnp.asarray(tp[:, 2] - tp[:, 0])),
+            gn=zv, n0=zv, n1=zv, n2=zv,
+            uv0=jnp.zeros((3, 2)), uv1=jnp.zeros((3, 2)),
+            uv2=jnp.zeros((3, 2)), area=z,
+            mat_id=jnp.zeros(3, jnp.int32),
+            light_id=jnp.full(3, -1, jnp.int32))
+        hb = closest_hit_brute(tris, o, d)
+        np.testing.assert_allclose(np.asarray(hs.t), np.asarray(hb.t),
+                                   rtol=1e-5, atol=1e-5)
+
     @pytest.mark.slow
     def test_sharded_render_matches_replicated_bathroom(self):
         """SURVEY §2.11 done-criterion: bathroom renders with scene

@@ -102,6 +102,29 @@ class TestIntegrators:
                                    np.asarray(f_full.buffer), rtol=1e-5,
                                    atol=1e-6)
 
+    def test_wavefront_matches_scan(self, scene):
+        """The compacting wavefront integrator must be estimator-
+        identical to the in-device scan: every random decision is keyed
+        by pixel id (rng.uniform_ids), so compaction only moves lanes."""
+        from raytracingrenderer_tpu.integrators.wavefront import (
+            sample_image_wavefront)
+        from raytracingrenderer_tpu.render import sample_image
+        cfg = RenderConfig(mis=True, jitter=True, max_depth=3)
+        key = jax.random.PRNGKey(5)
+        a = np.asarray(sample_image(scene, key, cfg))
+        b = np.asarray(sample_image_wavefront(scene, key, cfg))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_wavefront_render_path(self, scene, path_img):
+        cfg = RenderConfig(mis=True, jitter=True, max_depth=3,
+                           wavefront=True)
+        f = render(scene, cfg, spp=16)
+        img = np.asarray(film_mod.to_hdr(f))
+        assert np.isfinite(img).all()
+        mask = path_img.mean(-1) < 1.0
+        ratio = img.mean(-1)[mask].mean() / path_img.mean(-1)[mask].mean()
+        assert 0.9 < ratio < 1.1, ratio
+
     def test_denoise_reduces_noise(self, scene):
         from raytracingrenderer_tpu.imaging.denoise import denoise
         from raytracingrenderer_tpu.integrators import aov
