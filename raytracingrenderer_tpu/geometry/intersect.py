@@ -51,7 +51,11 @@ def _mt_test(tris: Triangles, idx, o: V3, d: V3):
     e2 = tris.e2.gather(idx)
     pvec = d.cross(e2)
     det = e1.dot(pvec)
-    inv_det = jnp.where(jnp.abs(det) < DET_EPS, 0.0, 1.0 / det)
+    # double-where: 1/det must never be evaluated at det≈0, or its
+    # backward produces 0*inf=NaN on degenerate lanes (geom_grads
+    # re-solves this differentiably, common.shading_data)
+    bad = jnp.abs(det) < DET_EPS
+    inv_det = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))
     tvec = o - p0
     u = tvec.dot(pvec) * inv_det
     qvec = tvec.cross(e1)

@@ -98,8 +98,12 @@ def shading_data(scene: Scene, hit: Hit, o: V3, d: V3,
             "(scene_shards=0)")
     if geom_grads:
         from ..geometry.intersect import _mt_test
-        t_r, u_r, v_r, _ = _mt_test(scene.triangles, tri, o, d)
-        att = lambda a, r: a + (r - jax.lax.stop_gradient(r))
+        t_r, u_r, v_r, ok = _mt_test(scene.triangles, tri, o, d)
+        # reattach only on real hits: missed lanes (tri clamped to 0)
+        # would otherwise feed garbage-lane derivatives into the vjp
+        val = (hit.tri >= 0) & ok
+        att = lambda a, r: a + jnp.where(
+            val, r - jax.lax.stop_gradient(r), 0.0)
         t_hit = att(t_hit, t_r)
         beta = att(beta, u_r)
         gamma = att(gamma, v_r)
@@ -120,7 +124,11 @@ def shading_data(scene: Scene, hit: Hit, o: V3, d: V3,
     # (reference Triangle::gNormal semantics).
     gn = v3(9)
     light_id = col(18).astype(jnp.int32)
-    x = o + d * t_hit
+    # missed lanes carry the BIG_T sentinel (~f32 max): o + d*BIG_T can
+    # overflow to inf, and a single inf here NaNs the whole vjp via
+    # 0*inf in downstream mask transposes — clamp at the source (hit
+    # lanes are unaffected: real t is scene-scale)
+    x = o + d * jnp.minimum(t_hit, 1e12)
     wo = -d
     b = 19  # material columns base
     tid = col(b + 4).astype(jnp.int32)
@@ -152,18 +160,27 @@ def shading_data(scene: Scene, hit: Hit, o: V3, d: V3,
 
 
 def balance_heuristic(pdf_a, pdf_b):
-    """Reference Renderer.h:408-410."""
-    return pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-20)
+    """Reference Renderer.h:408-410.
+
+    Double-where guard: max(den, 1e-20) is NOT enough once gradients
+    flow through the pdfs (geom_grads) — the division's transpose
+    computes pdf_a/den², and (1e-20)² underflows f32 to 0 → NaN on
+    dead lanes."""
+    den = pdf_a + pdf_b
+    ok = den > 1e-12
+    return jnp.where(ok, pdf_a / jnp.where(ok, den, 1.0), 0.0)
 
 
 def compute_direct(scene: Scene, sh: Shading, active, r_pick, r1, r2,
                    mis: bool, types=None, r3=None,
-                   presorted: bool = False) -> V3:
+                   presorted: bool = False,
+                   geom_grads: bool = False) -> V3:
     """One-light one-sample NEE; with `mis` the light-strategy term is
     balance-weighted against the BSDF pdf (computeDirectMIS light half,
     Renderer.h:474-512).  The BSDF-strategy half lives in the bounce loop
     (emission weighting), unlike the reference's extra scout ray."""
-    ls = lights_mod.sample_one(scene, sh.x, sh.sn, r_pick, r1, r2, r3)
+    ls = lights_mod.sample_one(scene, sh.x, sh.sn, r_pick, r1, r2, r3,
+                               geom_grads=geom_grads)
     specular = bsdf_mod.is_specular(sh.mp.mtype)
     cand = active & ls.valid & ~specular
     wi_local = sh.frame.to_local(ls.wi)

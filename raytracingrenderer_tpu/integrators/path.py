@@ -135,7 +135,8 @@ def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
     # measured 74 ms sorted vs ~500 ms unsorted on bathroom
     # (scripts/profile_wavefront.py)
     direct = compute_direct(scene, sh, shade, r_pick, r_lu, r_lv,
-                            cfg.mis, cfg.mat_types, r3=r_aux)
+                            cfg.mis, cfg.mat_types, r3=r_aux,
+                            geom_grads=cfg.geom_grads)
     if not cfg.debug_no_nee:
         radiance = radiance + beta * direct
 

@@ -71,13 +71,20 @@ def background_pdf(scene: Scene, d: V3) -> jax.Array:
 
 
 def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
-               r3=None) -> LightSample:
+               r3=None, geom_grads: bool = False) -> LightSample:
     """Uniformly pick one light per lane and sample a direction to it.
 
     Area lights follow reference AreaLight::sample (uniform by area, pdf
     1/area, one-sided emission via the cos_light clamp in the G term);
     the background uses CDF importance sampling in place of the
     reference's uniform-sphere TODO.
+
+    With `geom_grads`, emitter geometry is gathered from the
+    (differentiable) triangle SoA via LightTable.tri instead of the
+    table's detached copy, so vertex-position gradients flow through
+    the NEE geometry term (cos/d² and the sampled point itself) — the
+    dominant transport for a moving light.  Values are bit-identical
+    (the table is copied from the SoA at load).
     """
     n_area = scene.num_lights
     has_bg = background_enabled(scene)
@@ -97,13 +104,27 @@ def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
         a, b, g = warps.uniform_triangle(r1, r2)
         # point = v0*alpha + v1*beta + v2*gamma = p0 + e1*beta + e2*gamma
         # (emitter geometry lives in the light table — no triangle-SoA
-        # gathers on the NEE path)
-        p = lt.p0.gather(li) + lt.e1.gather(li) * b + lt.e2.gather(li) * g
+        # gathers on the NEE path — except under geom_grads, see above)
+        if geom_grads:
+            ti = lt.tri[li]
+            tr = scene.triangles
+            p0g, e1g, e2g = tr.p0.gather(ti), tr.e1.gather(ti), \
+                tr.e2.gather(ti)
+            ln = tr.gn.gather(ti)
+        else:
+            p0g, e1g, e2g = lt.p0.gather(li), lt.e1.gather(li), \
+                lt.e2.gather(li)
+            ln = lt.gn.gather(li)
+        p = p0g + e1g * b + e2g * g
         le = lt.le.gather(li)
         area = lt.area[li]
-        ln = lt.gn.gather(li)
         to_l = p - x
-        d2 = jnp.maximum(to_l.length_sq(), 1e-12)
+        # upper clip: missed lanes carry x ~ BIG_T, whose length_sq
+        # overflows to inf — every downstream div's transpose would
+        # then emit 0*inf = NaN once geom_grads connects the pdfs to
+        # the autodiff graph (the lanes are invalid, only the vjp sees
+        # them)
+        d2 = jnp.clip(to_l.length_sq(), 1e-12, 1e18)
         dist = jnp.sqrt(d2)
         wi_a = to_l * (1.0 / dist)
         cos_s = jnp.maximum(wi_a.dot(sn), 0.0)
@@ -113,9 +134,10 @@ def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
         g_over_pdf_a = g_term * area / pmf
         # solid-angle pdf incl. selection (convertPDFAreaToSolidAngle,
         # Renderer.h:411-422)
+        pos_l = cos_l > 0.0
         pdf_solid_a = jnp.where(
-            cos_l > 0.0, pmf / jnp.maximum(area, 1e-12) * d2
-            / jnp.maximum(cos_l, 1e-9), 0.0)
+            pos_l, pmf / jnp.maximum(area, 1e-12) * d2
+            / jnp.where(pos_l, jnp.maximum(cos_l, 1e-9), 1.0), 0.0)
         valid_a = g_term > 0.0
     else:
         wi_a = V3.zeros(shape)

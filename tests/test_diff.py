@@ -111,6 +111,34 @@ class TestGradients:
             assert float(g) == pytest.approx(float(fd), rel=0.02)
             assert abs(float(g)) > 1e-4  # the surface actually moved
 
+    def test_geometry_grad_mis_matches_fd(self, scene):
+        """Same reparameterization under MIS: the light-strategy pdf
+        (geometry-dependent d²/cosθ) and the balance weight join the
+        autodiff graph — this leg pins the NaN-free transpose of the
+        masked divisions (balance_heuristic, sample_one pdf_solid)."""
+        import dataclasses
+        cfg = dataclasses.replace(CFG, geom_grads=True, mis=True)
+        key = jax.random.PRNGKey(4)
+        tris = scene.triangles
+        em = np.asarray(scene.materials.is_emissive)[
+            np.asarray(tris.mat_id)]
+        light = jnp.asarray(em)
+
+        def f(delta):
+            p0 = tris.p0
+            p0 = type(p0)(p0.x, p0.y + jnp.where(light, delta, 0.0),
+                          p0.z)
+            sc2 = scene._replace(triangles=tris._replace(p0=p0))
+            img = sample_image(sc2, key, cfg)
+            return jnp.mean(img[4:20, 4:20])
+
+        eps = 1e-3
+        g = jax.grad(f)(0.0)
+        fd = (f(eps) - f(-eps)) / (2 * eps)
+        assert np.isfinite(float(g))
+        assert float(g) == pytest.approx(float(fd), rel=0.02)
+        assert abs(float(g)) > 1e-4
+
     def test_train_step_descends(self, scene):
         key = jax.random.PRNGKey(3)
         target = jnp.zeros((24, 24, 3))
