@@ -117,7 +117,11 @@ class V3(NamedTuple):
                   jnp.where(pred, self.z, other.z))
 
     def gather(self, idx: jax.Array) -> "V3":
-        return V3(self.x[idx], self.y[idx], self.z[idx])
+        # one one-hot matmul for all 3 components on TPU small tables:
+        # the transpose is a matmul, not XLA's serial scatter-add (see
+        # ops/gather.gather_cols) — load-bearing for gradient throughput
+        from ..ops.gather import gather_cols
+        return V3(*gather_cols((self.x, self.y, self.z), idx))
 
     def astype(self, dtype) -> "V3":
         return V3(self.x.astype(dtype), self.y.astype(dtype),

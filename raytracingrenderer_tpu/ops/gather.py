@@ -36,3 +36,32 @@ def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
             onehot, table, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
     return table[idx]
+
+
+def gather_cols(cols, idx: jax.Array):
+    """Gather k same-length 1-D float columns by a shared (N,) index.
+
+    Small tables on TPU route through ONE one-hot matmul for all k
+    columns — this matters twice: the forward beats XLA's native
+    gather, and (the reason this exists) the TRANSPOSE is another
+    matmul instead of a scatter-add.  XLA TPU lowers a 1M-update
+    scatter-add into a tiny table essentially serially — measured on
+    cornell (36 tris, 1 light): tri_p0-only fwd+bwd 423 ms and
+    light-emission fwd+bwd 304 ms, both dominated by gather transposes
+    (scripts/profile_train.py); the matmul transpose removes that
+    cliff.  Bit-exact: 0/1 weights at HIGHEST precision select rows
+    without rounding.
+
+    Falls back to native per-column gathers for big tables, 2-D index
+    blocks (the brute-force intersector), or non-TPU backends.
+    """
+    t = cols[0].shape[0]
+    # isinstance: host-side numpy gathers (scene loading) stay numpy
+    if (isinstance(idx, jax.Array) and idx.ndim == 1
+            and t <= ONEHOT_MAX_ROWS
+            and all(jnp.issubdtype(c.dtype, jnp.floating) for c in cols)
+            and jax.default_backend() == "tpu"):
+        table = jnp.stack(cols, axis=-1)            # (T, k)
+        rows = gather_rows(table, idx)              # (N, k)
+        return tuple(rows[:, i] for i in range(len(cols)))
+    return tuple(c[idx] for c in cols)
