@@ -46,12 +46,22 @@ def sample(atlas: TextureAtlas, tid: jax.Array, u: jax.Array,
     fv = vv - y0
     x0 = x0.astype(jnp.int32) % w
     y0 = y0.astype(jnp.int32) % h
-    x1 = (x0 + 1) % w
-    y1 = (y0 + 1) % h
-    s00 = _gather_texel(atlas, safe_tid, x0, y0)
-    s10 = _gather_texel(atlas, safe_tid, x1, y0)
-    s01 = _gather_texel(atlas, safe_tid, x0, y1)
-    s11 = _gather_texel(atlas, safe_tid, x1, y1)
+    if atlas.quad is not None:
+        # one 16-float row gather carries the whole 2x2 footprint
+        wmax = atlas.data.shape[2]
+        flat = (safe_tid * (atlas.data.shape[1] * wmax) + y0 * wmax + x0)
+        rows = jnp.take(atlas.quad, flat, axis=0)
+        s00 = V3(rows[..., 0], rows[..., 1], rows[..., 2])
+        s10 = V3(rows[..., 3], rows[..., 4], rows[..., 5])
+        s01 = V3(rows[..., 6], rows[..., 7], rows[..., 8])
+        s11 = V3(rows[..., 9], rows[..., 10], rows[..., 11])
+    else:
+        x1 = (x0 + 1) % w
+        y1 = (y0 + 1) % h
+        s00 = _gather_texel(atlas, safe_tid, x0, y0)
+        s10 = _gather_texel(atlas, safe_tid, x1, y0)
+        s01 = _gather_texel(atlas, safe_tid, x0, y1)
+        s11 = _gather_texel(atlas, safe_tid, x1, y1)
     out = (s00 * ((1 - fu) * (1 - fv)) + s10 * (fu * (1 - fv))
            + s01 * ((1 - fu) * fv) + s11 * (fu * fv))
     white = V3(jnp.ones_like(out.x), jnp.ones_like(out.y),
@@ -76,11 +86,20 @@ def sample_alpha(atlas: TextureAtlas, tid: jax.Array, u: jax.Array,
     fv = vv - y0
     x0 = x0.astype(jnp.int32) % w
     y0 = y0.astype(jnp.int32) % h
-    x1 = (x0 + 1) % w
-    y1 = (y0 + 1) % h
-    a = atlas.alpha
-    out = (a[safe_tid, y0, x0] * (1 - fu) * (1 - fv)
-           + a[safe_tid, y0, x1] * fu * (1 - fv)
-           + a[safe_tid, y1, x0] * (1 - fu) * fv
-           + a[safe_tid, y1, x1] * fu * fv)
+    if atlas.quad is not None:
+        wmax = atlas.data.shape[2]
+        flat = (safe_tid * (atlas.data.shape[1] * wmax) + y0 * wmax + x0)
+        rows = jnp.take(atlas.quad, flat, axis=0)
+        a00, a10, a01, a11 = (rows[..., 12], rows[..., 13],
+                              rows[..., 14], rows[..., 15])
+    else:
+        x1 = (x0 + 1) % w
+        y1 = (y0 + 1) % h
+        a = atlas.alpha
+        a00, a10, a01, a11 = (a[safe_tid, y0, x0], a[safe_tid, y0, x1],
+                              a[safe_tid, y1, x0], a[safe_tid, y1, x1])
+    out = (a00 * (1 - fu) * (1 - fv)
+           + a10 * fu * (1 - fv)
+           + a01 * (1 - fu) * fv
+           + a11 * fu * fv)
     return jnp.where(tid >= 0, out, 1.0)

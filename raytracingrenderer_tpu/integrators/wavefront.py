@@ -44,19 +44,20 @@ from ..scene.camera import generate_rays
 from ..scene.types import Scene
 from . import path as path_mod
 
-# Bucket widths are n / 2^k with at most 3 distinct sizes (n, n/2,
-# n/4): each per-width bounce graph is a large XLA compile, and
-# measured bathroom liveness ([1, .84, .63, .48, .36, .27]) rarely
-# drops below a quarter within the reference's 6-bounce budget.
+# Bucket widths are multiples of n/8 (floor n/4): measured bathroom
+# liveness [1, .84, .63, .48, .36, .27] lands on [1, .875, .625, .5,
+# .375, .375] — 3.75n rays of bounce work vs 4.5n with power-of-two
+# buckets (a ~17% frame saving), for at most ~6 distinct bounce-graph
+# compiles per scene (each width is its own XLA compile, amortized by
+# the persistent cache).
 _MIN_WIDTH = 1 << 15
 
 
 def _bucket(n_live: int, n: int) -> int:
-    w = n
+    step = max(_MIN_WIDTH, n // 8)
     floor = max(_MIN_WIDTH, n // 4)
-    while w // 2 >= max(n_live, floor):
-        w //= 2
-    return w
+    w = max(((n_live + step - 1) // step) * step, floor)
+    return min(w, n)
 
 
 @functools.partial(jax.jit, donate_argnums=(1,))

@@ -116,8 +116,27 @@ class _TextureManager:
             if self.alphas[i] is not None:
                 alpha[i, :h, :w] = self.alphas[i]
             hw[i] = (h, w)
+        # 2x2 footprint rows (wrap pre-applied on each texture's TRUE
+        # h/w): bilinear becomes one 16-float row gather (TextureAtlas
+        # docstring; padded texels are never indexed, x0<w and y0<h)
+        quad = np.zeros((n, hmax, wmax, 16), np.float32)
+        for i in range(n):
+            h, w = hw[i]
+            c = data[i, :h, :w]
+            a = alpha[i, :h, :w]
+            cx = np.roll(c, -1, axis=1)
+            cy = np.roll(c, -1, axis=0)
+            cxy = np.roll(cx, -1, axis=0)
+            ax = np.roll(a, -1, axis=1)
+            ay = np.roll(a, -1, axis=0)
+            axy = np.roll(ax, -1, axis=0)
+            quad[i, :h, :w] = np.concatenate(
+                [c, cx, cy, cxy, a[..., None], ax[..., None],
+                 ay[..., None], axy[..., None]], axis=-1)
         return TextureAtlas(data=jnp.asarray(data), alpha=jnp.asarray(alpha),
-                            hw=jnp.asarray(hw))
+                            hw=jnp.asarray(hw),
+                            quad=jnp.asarray(
+                                quad.reshape(n * hmax * wmax, 16)))
 
 
 class _MaterialBuilder:

@@ -104,6 +104,12 @@ class TextureAtlas(NamedTuple):
     data: jax.Array   # (N, Hmax, Wmax, 3) f32
     alpha: jax.Array  # (N, Hmax, Wmax) f32 (1.0 where absent)
     hw: jax.Array     # (N, 2) int32
+    # (N*Hmax*Wmax, 16) f32 rows [rgb00 rgb10 rgb01 rgb11 a00 a10 a01
+    # a11]: the 2x2 bilinear footprint with wrap pre-applied, so one
+    # sample = ONE row gather instead of 4 texel gathers (XLA TPU
+    # gathers cost per op — measured 51 ms -> ~15 ms per 1M samples on
+    # bathroom).  None when the loader skipped building it.
+    quad: Optional[jax.Array] = None
 
 
 class LightTable(NamedTuple):
