@@ -113,8 +113,11 @@ def train_step(scene: Scene, target: jax.Array, key, cfg: RenderConfig,
     Specializes cfg.mat_types to the scene's material set before jit —
     compiling all 7 lobe families through fwd+bwd costs minutes of XLA
     time (see render.specialize_config).  Note: a step that moves
-    vertex positions leaves the BVH stale — callers optimizing geometry
-    should rebuild/refit it periodically (host-side, scene load path).
+    vertex positions leaves the BVH node bounds and the light table's
+    geometry copy stale — call geometry.refit.refit(scene) after each
+    step (or every few steps) when optimizing geometry; it refreshes
+    both over the fixed tree topology (tests/test_diff.py exercises a
+    multi-step light-translation optimization with refit).
     """
     return _train_step_impl(scene, target, key, _diff_cfg(cfg, scene), lr)
 

@@ -10,11 +10,19 @@ with an argmin over t (any-hit: an OR) — one small collective of
 
 Shards are CONTIGUOUS ranges of the globally SAH-ordered triangle array,
 so each sub-BVH covers a spatially coherent chunk and prunes well.
-Triangle ids stay global (shard i's local id j maps to i*shard+j), so
-shading gathers work unchanged on the replicated attribute tables.
-(Sharding the attribute tables too — a gather-by-owner collective after
-the hit merge — is the documented next step; geometry + BVH nodes are
-the traversal-bandwidth-critical structures.)
+Triangle ids stay global (shard i's local id j maps to i*shard+j).
+Attribute tables shard too (attach_attrs/gather_attrs_sharded: a
+gather-by-owner + psum after the hit merge), reducing the replicated
+triangle SoA to a 1-row stub.
+
+COST MODEL (read before reaching for this mode): every device traverses
+the FULL ray batch against its sub-BVH, so closest-hit work is paid
+n_shards times (each shard prunes most rays at its root, but the
+traversal dispatch itself is full-width), and per-bounce wavefront
+compaction is disabled on this path (render._use_wavefront) — sharded
+renders run the scan integrator at full batch width.  This is an
+escape hatch for scenes that exceed a chip's HBM, not a speedup for
+scenes that fit; for those, replicate the scene and shard rays.
 
 Reachable as a first-class path: `load_scene(..., scene_shards=N)` (or
 CLI `-sceneShards N`) builds the sharded form, and geometry.intersect

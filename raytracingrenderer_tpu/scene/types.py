@@ -8,11 +8,13 @@ render functions: triangles as SoA component arrays, materials as an
 enum-tagged parameter table, lights as an index table, the BVH as
 flattened contiguous arrays.  Every leaf is a JAX array, so the scene is
 shardable and donate-able; the differentiable parameter surface is
-material albedo/emission/roughness, light radiance, and envmap texels
-(diff._split_scene).  Vertex positions are NOT differentiable: hit
-structure is stop-gradiented discrete state under the detached-sampling
-estimator (geometry grads need a boundary-aware/reparameterized
-estimator — out of scope).
+material albedo/emission/roughness, light radiance, envmap texels, AND
+vertex positions (diff._split_scene).  Hit *ids* stay stop-gradiented
+discrete structure, but the hit solution (t, barycentrics) is re-solved
+differentiably from the id (integrators.common.shading_data with
+geom_grads=True), so interior-term geometry gradients flow; only the
+silhouette/visibility boundary term remains a documented descope
+(diff.py).
 """
 from __future__ import annotations
 

@@ -147,6 +147,82 @@ class TestGradients:
         assert float(loss1) < float(loss0)
 
 
+class TestRefit:
+    def test_refit_traversal_matches_brute(self, scene):
+        """After moving triangles, a refit BVH must give the same hits
+        as brute force — a stale tree would miss the moved geometry."""
+        from raytracingrenderer_tpu.core.vec import V3
+        from raytracingrenderer_tpu.geometry import intersect
+        from raytracingrenderer_tpu.geometry.refit import refit_bvh
+        assert scene.bvh is not None
+        tris = scene.triangles
+        em = np.asarray(scene.materials.is_emissive)[
+            np.asarray(tris.mat_id)]
+        mask = jnp.asarray(em)
+        p0 = tris.p0
+        tris2 = tris._replace(p0=type(p0)(
+            p0.x, p0.y - jnp.where(mask, 0.4, 0.0), p0.z))
+        bvh2 = refit_bvh(scene.bvh, tris2)
+        # root box must contain the moved geometry
+        lo = np.asarray(bvh2.lo[0])
+        assert lo[1] <= float((tris2.p0.y * mask).min()) + 1e-5
+
+        rng_ = np.random.default_rng(0)
+        n = 256
+        o_np = rng_.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        d_np = rng_.normal(size=(n, 3)).astype(np.float32)
+        d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+        o = V3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+        d = V3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+        hb = intersect.closest_hit_bvh(bvh2, tris2, o, d)
+        ho = intersect.closest_hit_brute(tris2, o, d)
+        assert bool(jnp.all(hb.tri == ho.tri))
+        np.testing.assert_allclose(
+            np.minimum(np.asarray(hb.t), 1e30),
+            np.minimum(np.asarray(ho.t), 1e30), rtol=1e-4)
+
+    def test_light_translation_optimizes_with_refit(self, scene):
+        """Multi-step geometry optimization (the VERDICT-r3 staleness
+        footgun): translate the area light, recover its position by SGD
+        on the interior geometry gradient, refitting position-derived
+        caches (BVH bounds, light-table geometry) after every step."""
+        import dataclasses
+
+        from raytracingrenderer_tpu.geometry.refit import refit
+        cfg = dataclasses.replace(CFG, geom_grads=True)
+        key = jax.random.PRNGKey(8)
+        target = sample_image(scene, key, cfg)
+        em = np.asarray(scene.materials.is_emissive)[
+            np.asarray(scene.triangles.mat_id)]
+        mask = jnp.asarray(em)
+
+        def shift(sc, dy):
+            p0 = sc.triangles.p0
+            p0 = type(p0)(p0.x, p0.y + jnp.where(mask, dy, 0.0), p0.z)
+            return sc._replace(triangles=sc.triangles._replace(p0=p0))
+
+        def loss_fn(dy, sc):
+            img = sample_image(shift(sc, dy), key, cfg)
+            return jnp.mean((img - target) ** 2)
+
+        off = -0.15  # light starts 0.15 below its true position
+        cur = refit(shift(scene, off))
+        # light-table geometry must track the move (not the build copy)
+        assert float(cur.lights.p0.y[0]) == pytest.approx(
+            float(cur.triangles.p0.gather(cur.lights.tri).y[0]))
+        l0, g0 = jax.value_and_grad(loss_fn)(0.0, cur)
+        lr = 0.03 / max(abs(float(g0)), 1e-12)  # first step moves 0.03
+        losses = [float(l0)]
+        for _ in range(8):
+            _, g = jax.value_and_grad(loss_fn)(0.0, cur)
+            step = float(np.clip(-lr * float(g), -0.05, 0.05))
+            off += step
+            cur = refit(shift(cur, step))
+            losses.append(float(loss_fn(0.0, cur)))
+        assert abs(off) < 0.06, f"offset did not converge: {off}"
+        assert losses[-1] < 0.3 * losses[0]
+
+
 @pytest.fixture(scope="module")
 def env_scene():
     """materialball: envmap-lit with plastic (GGX) materials — the

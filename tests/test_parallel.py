@@ -76,6 +76,76 @@ class TestDryrun:
         assert bool(jnp.isfinite(out).all())
 
 
+class TestOverlapTrainStep:
+    """Explicit-SPMD train step with per-bounce gradient psums inside
+    the backward scan (SURVEY §2.11 row 6) — schedules differ,
+    gradients must not."""
+
+    def test_overlap_matches_barriered(self, scene):
+        from raytracingrenderer_tpu.parallel.overlap import (
+            param_grads_sharded)
+        cfg = RenderConfig(max_depth=2, mis=True, jitter=True)
+        key = jax.random.PRNGKey(5)
+        target = jnp.zeros((32, 32, 3), jnp.float32)
+        mesh = make_mesh(8)
+        g_ov, l_ov = param_grads_sharded(scene, target, key, cfg, mesh,
+                                         overlap=True)
+        g_ba, l_ba = param_grads_sharded(scene, target, key, cfg, mesh,
+                                         overlap=False)
+        assert float(l_ov) == pytest.approx(float(l_ba), rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ov),
+                        jax.tree_util.tree_leaves(g_ba)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        # gradients are real (non-trivial) and finite
+        assert float(jnp.abs(g_ov["albedo"].x).sum()) > 0
+        for leaf in jax.tree_util.tree_leaves(g_ov):
+            assert bool(jnp.isfinite(leaf).all())
+
+    def test_overlap_matches_xla_spmd(self, scene):
+        """Same gradients as the XLA-placed jit path (jitter off: the
+        jit path keys jitter by lane shape, the shard_map path by pixel
+        id — with jitter disabled the estimators coincide exactly)."""
+        from raytracingrenderer_tpu.diff import param_grads
+        from raytracingrenderer_tpu.parallel.overlap import (
+            param_grads_sharded)
+        cfg = RenderConfig(max_depth=2, mis=True, jitter=False)
+        key = jax.random.PRNGKey(6)
+        target = jnp.zeros((32, 32, 3), jnp.float32)
+        g_ov, _ = param_grads_sharded(scene, target, key, cfg,
+                                      make_mesh(4), overlap=True)
+        g_ref = param_grads(scene, target, key, cfg)
+        for k in g_ref:
+            for a, b in zip(jax.tree_util.tree_leaves(g_ov[k]),
+                            jax.tree_util.tree_leaves(g_ref[k])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-3, atol=1e-6)
+
+    def test_device_count_invariant(self, scene):
+        from raytracingrenderer_tpu.parallel.overlap import (
+            param_grads_sharded)
+        cfg = RenderConfig(max_depth=2, mis=True, jitter=True)
+        key = jax.random.PRNGKey(7)
+        target = jnp.zeros((32, 32, 3), jnp.float32)
+        g2, _ = param_grads_sharded(scene, target, key, cfg, make_mesh(2))
+        g8, _ = param_grads_sharded(scene, target, key, cfg, make_mesh(8))
+        for a, b in zip(jax.tree_util.tree_leaves(g2),
+                        jax.tree_util.tree_leaves(g8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_train_step_descends(self, scene):
+        from raytracingrenderer_tpu.parallel.overlap import (
+            train_step_overlap)
+        cfg = RenderConfig(max_depth=2, mis=True, jitter=True)
+        key = jax.random.PRNGKey(8)
+        target = jnp.zeros((32, 32, 3), jnp.float32)
+        mesh = make_mesh(8)
+        sc, l0 = train_step_overlap(scene, target, key, cfg, mesh, lr=0.5)
+        sc, l1 = train_step_overlap(sc, target, key, cfg, mesh, lr=0.5)
+        assert float(l1) < float(l0)
+
+
 class TestSceneSharding:
     """Primitive-sharded intersection must match the replicated oracle."""
 
