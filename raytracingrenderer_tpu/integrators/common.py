@@ -174,11 +174,18 @@ def balance_heuristic(pdf_a, pdf_b):
 def compute_direct(scene: Scene, sh: Shading, active, r_pick, r1, r2,
                    mis: bool, types=None, r3=None,
                    presorted: bool = False,
-                   geom_grads: bool = False) -> V3:
+                   geom_grads: bool = False,
+                   saved_occ=None, return_occ: bool = False):
     """One-light one-sample NEE; with `mis` the light-strategy term is
     balance-weighted against the BSDF pdf (computeDirectMIS light half,
     Renderer.h:474-512).  The BSDF-strategy half lives in the bounce loop
-    (emission weighting), unlike the reference's extra scout ray."""
+    (emission weighting), unlike the reference's extra scout ray.
+
+    `saved_occ` replays a previously computed occlusion mask instead of
+    re-tracing shadow rays (the wavefront host-chained backward saves
+    exactly the traversal results, mirroring the scan-mode remat policy
+    save_only_these_names("ray_occ")); `return_occ` exposes the mask so
+    the forward pass can record it."""
     ls = lights_mod.sample_one(scene, sh.x, sh.sn, r_pick, r1, r2, r3,
                                geom_grads=geom_grads)
     specular = bsdf_mod.is_specular(sh.mp.mtype)
@@ -190,13 +197,28 @@ def compute_direct(scene: Scene, sh: Shading, active, r_pick, r1, r2,
         pdf_b = bsdf_mod.pdf_fn(sh.mp, sh.wo_local, wi_local, types)
         contrib = contrib * balance_heuristic(ls.pdf_solid, pdf_b)
     worth = cand & (contrib.max_comp() > 0.0)
-    # shadow ray (reference Scene::visible: epsilon pullback both ends)
-    shadow_o = sh.x + ls.wi * EPSILON
-    max_t = jnp.where(ls.dist >= lights_mod.INF_DIST, 1e30,
-                      ls.dist - 2.0 * EPSILON)
-    # mask inactive lanes by zero-length rays to save traversal work
-    occ = occluded(scene, shadow_o,
-                   vwhere(worth, ls.wi, V3.full(jnp.shape(r1), 0.0, 0.0, 1.0)),
-                   jnp.where(worth, max_t, -1.0), presorted=presorted)
+    if saved_occ is not None:
+        occ = jax.lax.stop_gradient(saved_occ)
+    else:
+        # Shadow ray (reference Scene::visible: epsilon pullback both
+        # ends).  Segment occlusion is symmetric, so finite-light lanes
+        # trace FROM the light toward the surface: NEE shadow origins
+        # then cluster on the (small) emitters instead of scattering
+        # over every surface in the scene, which collapses the packet
+        # kernel's per-block node-set union to the coherent case — on
+        # bathroom this halves any-hit time (docs/PROFILE_bathroom_r4.md).
+        # Infinite lights (env) keep the surface-out direction.
+        finite = ls.dist < lights_mod.INF_DIST
+        max_t = jnp.where(finite, ls.dist - 2.0 * EPSILON, 1e30)
+        shadow_o = vwhere(finite,
+                          sh.x + ls.wi * (ls.dist - EPSILON),
+                          sh.x + ls.wi * EPSILON)
+        shadow_d = vwhere(finite, -ls.wi, ls.wi)
+        # mask inactive lanes by zero-length rays to save traversal work
+        occ = occluded(
+            scene, shadow_o,
+            vwhere(worth, shadow_d, V3.full(jnp.shape(r1), 0.0, 0.0, 1.0)),
+            jnp.where(worth, max_t, -1.0), presorted=presorted)
     lit = worth & ~occ
-    return vwhere(lit, contrib, V3.zeros(jnp.shape(r1)))
+    out = vwhere(lit, contrib, V3.zeros(jnp.shape(r1)))
+    return (out, occ) if return_occ else out

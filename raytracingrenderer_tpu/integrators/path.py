@@ -62,12 +62,20 @@ def init_state(o: V3, d: V3) -> dict:
 
 
 def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
-                cfg: RenderConfig, presorted: bool = False) -> dict:
+                cfg: RenderConfig, presorted: bool = False,
+                saved=None, return_saved: bool = False):
     """One bounce over the whole (possibly compacted) ray batch.
 
     `depth` may be a traced scalar.  With `presorted`, the batch is
     already coherence-sorted (wavefront mode) and the intersection
     dispatch skips its internal sort/unsort round-trips.
+
+    `saved` = {"hit": Hit, "occ": bool array} replays recorded traversal
+    results instead of walking the BVH — the host-chained wavefront
+    backward (wavefront_diff.py) records them in its forward and
+    replays here, so reverse-mode never re-traverses (the same
+    save-only-traversal policy the scan-mode remat uses).
+    `return_saved` makes the forward return (state, saved) to record.
     """
     n = state["o"].x.shape[0]
     zero = V3.zeros(n)
@@ -77,7 +85,11 @@ def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
     beta = state["throughput"]
     radiance = state["radiance"]
 
-    hit = intersect.closest_hit(scene, o, d, alive, presorted=presorted)
+    if saved is not None:
+        hit = jax.tree_util.tree_map(jax.lax.stop_gradient, saved["hit"])
+    else:
+        hit = intersect.closest_hit(scene, o, d, alive,
+                                    presorted=presorted)
     found = hit.valid & alive
     missed = alive & ~hit.valid
 
@@ -134,9 +146,11 @@ def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
     # direction toward the light differs from the bounce ray's —
     # measured 74 ms sorted vs ~500 ms unsorted on bathroom
     # (scripts/profile_wavefront.py)
-    direct = compute_direct(scene, sh, shade, r_pick, r_lu, r_lv,
-                            cfg.mis, cfg.mat_types, r3=r_aux,
-                            geom_grads=cfg.geom_grads)
+    direct, occ = compute_direct(
+        scene, sh, shade, r_pick, r_lu, r_lv, cfg.mis, cfg.mat_types,
+        r3=r_aux, geom_grads=cfg.geom_grads,
+        saved_occ=None if saved is None else saved["occ"],
+        return_occ=True)
     if not cfg.debug_no_nee:
         radiance = radiance + beta * direct
 
@@ -169,7 +183,7 @@ def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
 
     wi = sh.frame.to_world(wi_local)
     new_o = sh.x + wi * EPSILON
-    return dict(
+    out = dict(
         o=vwhere(alive_next, new_o, o),
         d=vwhere(alive_next, wi, d),
         ids=ids,
@@ -180,6 +194,9 @@ def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
                                 state["can_hit_light"]),
         prev_pdf=jnp.where(alive_next, pdf, state["prev_pdf"]),
     )
+    if return_saved:
+        return out, {"hit": hit, "occ": occ}
+    return out
 
 
 def trace_radiance(scene: Scene, o: V3, d: V3, key: jax.Array,

@@ -60,10 +60,12 @@ def _bucket(n_live: int, n: int) -> int:
     return min(w, n)
 
 
-@functools.partial(jax.jit, donate_argnums=(1,))
-def _sort_flush(scene: Scene, img: jax.Array, state: dict):
+def _sort_flush_impl(scene: Scene, img: jax.Array, state: dict):
     """Sort state by the coherence key (live rays first), scatter the
-    radiance of dead rays into the image (then zero it), count live."""
+    radiance of dead rays into the image (then zero it), count live.
+    Pure jnp body — jitted with donation below for the forward-only
+    path, and traced inside the host-chained backward
+    (wavefront_diff.py) where the inputs must outlive the call."""
     alive = state["alive"]
     dead_rgb = jnp.where(alive[:, None], 0.0, state["radiance"].stacked())
     img = img.at[state["ids"]].add(dead_rgb)
@@ -80,6 +82,10 @@ def _sort_flush(scene: Scene, img: jax.Array, state: dict):
                      for a, t in zip(out[1:], casts)]
     state = jax.tree_util.tree_unflatten(treedef, sorted_leaves)
     return img, state, jnp.sum(alive.astype(jnp.int32))
+
+
+_sort_flush = functools.partial(jax.jit, donate_argnums=(1,))(
+    _sort_flush_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -45,19 +45,27 @@ from .mesh import RAY_AXIS
 
 
 @jax.custom_vjp
-def _allreduce_in_bwd(tree):
+def _allreduce_in_bwd(tree, salt):
     """Identity whose backward all-reduces the cotangent over the ray
     axis.  Applied per bounce, it schedules one psum per scan step of
-    the backward pass instead of one barrier at the end."""
+    the backward pass instead of one barrier at the end.
+
+    `salt` must be an iteration-dependent scalar (the bounce depth):
+    applied to the loop-invariant params alone, the identity would be
+    hoisted out of the scan by partial evaluation and its backward
+    would collapse back into one end-of-loop reduction — the data
+    dependence on the scan counter pins one application (and thus one
+    backward psum) per bounce."""
+    del salt
     return tree
 
 
-def _arb_fwd(tree):
+def _arb_fwd(tree, salt):
     return tree, None
 
 
 def _arb_bwd(_, g):
-    return (jax.lax.psum(g, RAY_AXIS),)
+    return jax.lax.psum(g, RAY_AXIS), jnp.float32(0.0)
 
 
 _allreduce_in_bwd.defvjp(_arb_fwd, _arb_bwd)
@@ -74,13 +82,15 @@ def _trace_shard(params, scene: Scene, xs, ys, ids, key, cfg: RenderConfig,
     else:
         jx = jy = 0.5
     if not overlap:
-        params = _allreduce_in_bwd(params)  # single end-of-backward psum
+        # single end-of-backward psum (the barriered baseline)
+        params = _allreduce_in_bwd(params, jnp.float32(0.0))
     o, d = generate_rays(scene.camera, xs + jx, ys + jy)
     state = path_mod.init_state(o, d)
     state["ids"] = ids.astype(jnp.uint32)  # GLOBAL pixel ids, not lanes
 
     def bounce(state, depth):
-        p = _allreduce_in_bwd(params) if overlap else params
+        p = (_allreduce_in_bwd(params, depth.astype(jnp.float32))
+             if overlap else params)
         sc = _merge_scene(p, scene)
         return path_mod.bounce_step(sc, state, depth, key, cfg), None
 

@@ -115,6 +115,41 @@ class TestIntegrators:
         b = np.asarray(sample_image_wavefront(scene, key, cfg))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
+    def test_wavefront_backward_matches_scan(self, scene):
+        """Host-chained wavefront backward (wavefront_diff.py): loss
+        and parameter gradients must equal scan-mode jax.grad — the
+        taped forward is the same estimator, and the backward replays
+        saved traversal results through the same shading math."""
+        import jax.numpy as jnp
+        from raytracingrenderer_tpu.diff import (_diff_cfg, _split_scene,
+                                                 render_loss)
+        from raytracingrenderer_tpu.integrators import wavefront_diff
+        cfg = RenderConfig(mis=True, jitter=True, max_depth=3)
+        key = jax.random.PRNGKey(9)
+        target = jnp.zeros((RES, RES, 3), jnp.float32)
+        loss_wf, g_wf = wavefront_diff.loss_and_grads(scene, target, key,
+                                                      cfg)
+        dcfg = _diff_cfg(cfg, scene)
+        params, _ = _split_scene(scene)
+        loss_sc, g_sc = jax.value_and_grad(render_loss)(
+            params, scene, target, key, dcfg)
+        assert float(loss_wf) == pytest.approx(float(loss_sc), rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_wf),
+                        jax.tree_util.tree_leaves(g_sc)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-6)
+
+    def test_wavefront_train_step_descends(self, scene):
+        import jax.numpy as jnp
+        from raytracingrenderer_tpu.integrators import wavefront_diff
+        cfg = RenderConfig(mis=True, jitter=True, max_depth=2)
+        key = jax.random.PRNGKey(10)
+        target = jnp.zeros((RES, RES, 3), jnp.float32)
+        sc, l0 = wavefront_diff.train_step(scene, target, key, cfg,
+                                           lr=0.5)
+        sc, l1 = wavefront_diff.train_step(sc, target, key, cfg, lr=0.5)
+        assert float(l1) < float(l0)
+
     def test_wavefront_render_path(self, scene, path_img):
         cfg = RenderConfig(mis=True, jitter=True, max_depth=3,
                            wavefront=True)
