@@ -186,6 +186,7 @@ _SCALING_CHILD = r"""
 import json, time
 import jax
 jax.config.update("jax_platforms", "cpu")
+import numpy as np
 import jax.numpy as jnp
 from raytracingrenderer_tpu.config import RenderConfig
 from raytracingrenderer_tpu.parallel.mesh import make_mesh, render_sharded
@@ -195,29 +196,54 @@ from raytracingrenderer_tpu.scene.types import Camera
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 scene = load_scene("/root/reference/RTBase/cornell-box")
-c = scene.camera
-scene = scene._replace(camera=Camera(c.p, c.p_inv, c.cam_to_world,
-                                     c.world_to_cam, 128, 128, c.origin,
+
+
+def with_res(sc, w, h):
+    c = sc.camera
+    return sc._replace(camera=Camera(c.p, c.p_inv, c.cam_to_world,
+                                     c.world_to_cam, w, h, c.origin,
                                      c.a_film))
-cfg = specialize_config(RenderConfig(mis=True, jitter=True, max_depth=4),
-                        scene)
-res = {}
+
+
+def median_time(sc, mesh, reps=7):
+    cfg = specialize_config(
+        RenderConfig(mis=True, jitter=True, max_depth=4), sc)
+    img = render_sharded(sc, jax.random.PRNGKey(0), cfg, mesh)
+    jax.block_until_ready(img)
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        img = render_sharded(sc, jax.random.PRNGKey(i), cfg, mesh)
+        jax.block_until_ready(img)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+out = {}
+# STRONG scaling: fixed 128x128 image split over N devices.  Median of
+# 7 (r3's 3-rep mean was noise-prone: the r3 "2dev=0.7" anomaly).  On
+# this virtual CPU mesh one XLA CPU device already multi-threads over
+# all host cores, so N>1 adds partitioning overhead + thread-pool
+# contention with no new silicon — ratios measure SPMD overhead on a
+# host, not TPU scaling (the r3 2-dev regression reproduces ~0.5-0.7
+# under contention and is a host-threading artifact: per-device thread
+# pools oversubscribe the shared cores; outputs stay bit-identical).
+strong = {}
 for nd in (1, 2, 4, 8):
-    mesh = make_mesh(nd)
-    img = render_sharded(scene, jax.random.PRNGKey(0), cfg, mesh)
-    jax.block_until_ready(img)
-    t0 = time.perf_counter()
-    for i in range(3):
-        img = render_sharded(scene, jax.random.PRNGKey(i), cfg, mesh)
-    jax.block_until_ready(img)
-    res[str(nd)] = 128 * 128 * 3 / (time.perf_counter() - t0)
-base = res["1"]
-# On the virtual CPU mesh one device already saturates the host cores
-# (XLA CPU is itself multi-threaded), so per-device efficiency is
-# meaningless; total-throughput ratio vs 1 device isolates the SPMD
-# partitioning overhead (ideal ~1.0).
-print(json.dumps({f"scaling_tput_ratio_{k}dev": round(v / base, 3)
-                  for k, v in res.items()}))
+    sc = with_res(scene, 128, 128)
+    strong[nd] = median_time(sc, make_mesh(nd))
+for nd, t in strong.items():
+    out[f"scaling_tput_ratio_{nd}dev"] = round(strong[1] / t, 3)
+# WEAK scaling: fixed rays/device (16 image rows each); ideal time is
+# flat, efficiency = t_1/t_N.  This is the harness a real pod run uses
+# unchanged to produce the north-star >=80% efficiency number.
+weak = {}
+for nd in (1, 2, 4, 8):
+    sc = with_res(scene, 128, 16 * nd)
+    weak[nd] = median_time(sc, make_mesh(nd))
+for nd, t in weak.items():
+    out[f"scaling_weak_eff_{nd}dev"] = round(weak[1] / t, 3)
+print(json.dumps(out))
 """
 
 
@@ -257,7 +283,7 @@ def main():
     scaling = _run(
         {"XLA_FLAGS": os.environ.get("XLA_FLAGS", "")
          + " --xla_force_host_platform_device_count=8"},
-        timeout=240, code=_SCALING_CHILD)
+        timeout=600, code=_SCALING_CHILD)
     if scaling:
         result.update(scaling)
     extras = {k: round(v, 1) if isinstance(v, float) else v

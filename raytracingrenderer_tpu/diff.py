@@ -44,10 +44,17 @@ def _split_scene(scene: Scene):
     reparameterization in integrators.common.shading_data (cfg must set
     geom_grads=True — train_step/param_grads do).  Silhouette/visibility
     BOUNDARY terms (the edge integral of Li et al.-style differentiable
-    rendering) are an explicit descope: hit ids and occlusion bits stay
-    detached, so a gradient step never sees radiance jumping across a
-    moving silhouette.  FD checks must therefore probe losses dominated
-    by interior pixels (tests/test_diff.py does).
+    rendering) are an explicit, MEASURED descope: hit ids and occlusion
+    bits stay detached, so a gradient step never sees radiance jumping
+    across a moving silhouette.  Measured magnitude (occluder
+    translation on cornell-box, docs/BOUNDARY_BIAS_r4.md): on a
+    shadow-edge-dominated loss the analytic gradient is wrong-signed
+    (-0.055 analytic vs +0.036 FD, 253% relative bias); on a full-image
+    loss the interior term dominates but the bias remains order-of the
+    gradient itself.  Interior-dominated losses match FD to ~2%
+    (tests/test_diff.py); silhouette-driven geometry optimization is
+    unsupported until a warped-area/edge-sampling estimator lands
+    (tests/test_diff.py::TestBoundaryBias keeps the descope measured).
     """
     params = dict(
         albedo=scene.materials.albedo,

@@ -168,22 +168,39 @@ def _kernel(nodes_ref, leaf_ref,
         sp = jnp.where(do_pop, slot, sp)
 
         m = te < t_b
+        # whole-block liveness: by pop time t_b has usually improved
+        # past a stack entry's saved t_entry, so late-traversal visits
+        # are often fully pruned — a scalar branch per visit buys back
+        # their dead 2-slab/leaf-MT vector cost (the dominant per-visit
+        # term)
+        m_any = jnp.any(m)
         is_leaf = code < 0
 
         # ---- leaf: dense unrolled MT over one full leaf row ------------
         leaf_row = jnp.maximum((-code) - 1, 0)
         t_b, tri_b, u_b, v_b = jax.lax.cond(
-            is_leaf,
+            is_leaf & m_any,
             lambda args: leaf_test(leaf_row, m, *args),
             lambda args: args,
             (t_b, tri_b, u_b, v_b))
 
         # ---- internal: both children from one row, ordered descent ----
         safe = jnp.maximum(code, 0)
-        tel, ter = slab(safe, t_b, m & jnp.logical_not(is_leaf))
-        lcode = nodes_ref[safe, 12].astype(jnp.int32)
-        rcode = nodes_ref[safe, 13].astype(jnp.int32)
-        ab = nodes_ref[safe, 14].astype(jnp.int32)
+
+        def live_inner(_):
+            tel, ter = slab(safe, t_b, m & jnp.logical_not(is_leaf))
+            return (tel, ter,
+                    nodes_ref[safe, 12].astype(jnp.int32),
+                    nodes_ref[safe, 13].astype(jnp.int32),
+                    nodes_ref[safe, 14].astype(jnp.int32))
+
+        def pruned(_):
+            inf = jnp.full(blk, INF, jnp.float32)
+            z = jnp.int32(0)
+            return inf, inf, z, z, z
+
+        tel, ter, lcode, rcode, ab = jax.lax.cond(
+            m_any & jnp.logical_not(is_leaf), live_inner, pruned, 0)
         axis = ab & 3  # bit0..1: axis, bit2: left child lower on axis
         l_low = (ab & 4) > 0
         d_pos = jax.lax.select(axis == 0, sdx,
@@ -456,26 +473,35 @@ def _kernel_wide(nodes_ref, leaf_ref,
         sp = jnp.where(do_pop, slot, sp)
 
         m = te < t_b
+        m_any = jnp.any(m)  # skip fully-pruned visits (see _kernel)
         is_leaf = code < 0
 
         leaf_row = jnp.maximum((-code) - 1, 0)
         t_b, tri_b, u_b, v_b = jax.lax.cond(
-            is_leaf,
+            is_leaf & m_any,
             lambda args: leaf_test(leaf_row, m, *args),
             lambda args: args,
             (t_b, tri_b, u_b, v_b))
 
         safe = jnp.maximum(code, 0)
-        mi = m & jnp.logical_not(is_leaf)
-        te0 = slab(safe, 0, t_b, mi)
-        te1 = slab(safe, 6, t_b, mi)
-        te2 = slab(safe, 12, t_b, mi)
-        te3 = slab(safe, 18, t_b, mi)
-        c0 = nodes_ref[safe, 24].astype(jnp.int32)
-        c1 = nodes_ref[safe, 25].astype(jnp.int32)
-        c2 = nodes_ref[safe, 26].astype(jnp.int32)
-        c3 = nodes_ref[safe, 27].astype(jnp.int32)
-        axis = nodes_ref[safe, 28].astype(jnp.int32)
+
+        def live_inner(_):
+            mi = m & jnp.logical_not(is_leaf)
+            return (slab(safe, 0, t_b, mi), slab(safe, 6, t_b, mi),
+                    slab(safe, 12, t_b, mi), slab(safe, 18, t_b, mi),
+                    nodes_ref[safe, 24].astype(jnp.int32),
+                    nodes_ref[safe, 25].astype(jnp.int32),
+                    nodes_ref[safe, 26].astype(jnp.int32),
+                    nodes_ref[safe, 27].astype(jnp.int32),
+                    nodes_ref[safe, 28].astype(jnp.int32))
+
+        def pruned(_):
+            inf = jnp.full(blk, INF, jnp.float32)
+            z = jnp.int32(0)
+            return inf, inf, inf, inf, z, z, z, z, z
+
+        te0, te1, te2, te3, c0, c1, c2, c3, axis = jax.lax.cond(
+            m_any & jnp.logical_not(is_leaf), live_inner, pruned, 0)
         d_pos = jax.lax.select(axis == 0, sdx,
                                jax.lax.select(axis == 1, sdy, sdz))
         # children stored ascending along axis; iterate far -> near so

@@ -147,6 +147,46 @@ class TestGradients:
         assert float(loss1) < float(loss0)
 
 
+class TestBoundaryBias:
+    def test_occluder_translation_bias_is_detected(self, scene):
+        """The silhouette/visibility boundary term is a DESCOPE, not an
+        oversight: moving an occluder (cornell's tall box) must show a
+        large analytic-vs-FD mismatch on a shadow-dominated loss — the
+        measured numbers live in docs/BOUNDARY_BIAS_r4.md; this guard
+        keeps the descope measured (if boundary gradients ever get
+        implemented, this test should start failing and be inverted)."""
+        import dataclasses
+        cfg = dataclasses.replace(CFG, geom_grads=True)
+        key = jax.random.PRNGKey(3)
+        tris = scene.triangles
+        occluder = jnp.asarray(np.asarray(tris.mat_id) == 6)  # tall box
+
+        def render_dx(dx):
+            p0 = tris.p0
+            p0 = type(p0)(p0.x + jnp.where(occluder, dx, 0.0), p0.y,
+                          p0.z)
+            return sample_image(
+                scene._replace(triangles=tris._replace(p0=p0)), key, cfg)
+
+        eps = 0.02
+        d_img = np.abs(np.asarray(render_dx(eps))
+                       - np.asarray(render_dx(-eps))).mean(-1)
+        mask = jnp.asarray(d_img > np.percentile(d_img, 90))
+
+        def loss(dx):
+            img = render_dx(dx)
+            return jnp.sum(jnp.where(mask[..., None], img, 0.0)) \
+                / (jnp.sum(mask) * 3.0)
+
+        g_a = float(jax.grad(loss)(0.0))
+        g_fd = float((loss(eps) - loss(-eps)) / (2 * eps))
+        rel = abs(g_fd - g_a) / max(abs(g_fd), 1e-12)
+        assert rel > 0.5, (
+            f"boundary bias unexpectedly small ({rel:.1%}) — if a "
+            "boundary estimator landed, invert this test and update "
+            "docs/BOUNDARY_BIAS_r4.md")
+
+
 class TestRefit:
     def test_refit_traversal_matches_brute(self, scene):
         """After moving triangles, a refit BVH must give the same hits
