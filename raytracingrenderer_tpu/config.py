@@ -40,6 +40,13 @@ class RenderConfig:
     # render() fills it in from the material table so jit only compiles
     # the BSDF lobes the scene uses (see materials/bsdf.py:_has).
     mat_types: Optional[Tuple[int, ...]] = None
+    # Power-weighted NEE light selection (lights.selection_pmf):
+    # pick lights proportional to totalIntegratedPower instead of the
+    # reference's uniform 1/N — a variance win on many-light scenes
+    # with asymmetric emitters (coffee's 3 lights).  Unbiased either
+    # way; MIS counterweights follow the same pmf.  Off by default for
+    # reference stream parity.
+    power_lights: bool = False
     # Geometry (vertex-position) gradients: re-solve the hit's (t, u, v)
     # differentiably from the detached triangle id and attach it
     # straight-through (primal unchanged), so hit positions, frames and

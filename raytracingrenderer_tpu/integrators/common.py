@@ -175,7 +175,8 @@ def compute_direct(scene: Scene, sh: Shading, active, r_pick, r1, r2,
                    mis: bool, types=None, r3=None,
                    presorted: bool = False,
                    geom_grads: bool = False,
-                   saved_occ=None, return_occ: bool = False):
+                   saved_occ=None, return_occ: bool = False,
+                   power: bool = False):
     """One-light one-sample NEE; with `mis` the light-strategy term is
     balance-weighted against the BSDF pdf (computeDirectMIS light half,
     Renderer.h:474-512).  The BSDF-strategy half lives in the bounce loop
@@ -187,7 +188,7 @@ def compute_direct(scene: Scene, sh: Shading, active, r_pick, r1, r2,
     save_only_these_names("ray_occ")); `return_occ` exposes the mask so
     the forward pass can record it."""
     ls = lights_mod.sample_one(scene, sh.x, sh.sn, r_pick, r1, r2, r3,
-                               geom_grads=geom_grads)
+                               geom_grads=geom_grads, power=power)
     specular = bsdf_mod.is_specular(sh.mp.mtype)
     cand = active & ls.valid & ~specular
     wi_local = sh.frame.to_local(ls.wi)

@@ -98,9 +98,10 @@ def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
     if lights_mod.background_enabled(scene):
         if cfg.mis:
             # MIS counterweight for the env light reached by BSDF
-            # sampling.
-            n_l = lights_mod.num_lights(scene)
-            pdf_l = lights_mod.background_pdf(scene, d) / max(n_l, 1)
+            # sampling (selection pmf matches sample_one's mode).
+            _, pmf_bg = lights_mod.selection_pmf(scene,
+                                                 cfg.power_lights)
+            pdf_l = lights_mod.background_pdf(scene, d) * pmf_bg
             w_bg = jnp.where(
                 state["can_hit_light"], 1.0,
                 balance_heuristic(state["prev_pdf"], pdf_l))
@@ -125,7 +126,8 @@ def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
     is_light = found & sh.mp.is_emissive
     if cfg.mis:
         pdf_l = lights_mod.hit_light_pdf_solid(
-            scene, sh.light_id, o, sh.x, sh.gn_raw)
+            scene, sh.light_id, o, sh.x, sh.gn_raw,
+            power=cfg.power_lights)
         w_le = jnp.where(state["can_hit_light"], 1.0,
                          balance_heuristic(state["prev_pdf"], pdf_l))
     else:
@@ -150,7 +152,7 @@ def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
         scene, sh, shade, r_pick, r_lu, r_lv, cfg.mis, cfg.mat_types,
         r3=r_aux, geom_grads=cfg.geom_grads,
         saved_occ=None if saved is None else saved["occ"],
-        return_occ=True)
+        return_occ=True, power=cfg.power_lights)
     if not cfg.debug_no_nee:
         radiance = radiance + beta * direct
 

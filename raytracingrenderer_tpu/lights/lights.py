@@ -70,9 +70,47 @@ def background_pdf(scene: Scene, d: V3) -> jax.Array:
     return jnp.full(jnp.shape(d.z), warps.INV_4PI)
 
 
+def selection_pmf(scene: Scene, power: bool):
+    """Light-selection pmfs: (pmf_area (L,) or None, pmf_bg scalar).
+
+    power=False: the reference's uniform 1/N (Scene::sampleLight,
+    Scene.h:131-140).  power=True: proportional to each light's
+    totalIntegratedPower in the REFERENCE'S OWN convention —
+    AreaLight = Lum(Le)*area (Lights.h:60-63), BackgroundColour =
+    Lum*4pi (Lights.h:115-118), EnvironmentMap = sin-weighted mean
+    luminance * 4pi (Lights.h:171-184; precomputed as
+    EnvMap.mean_power).  The reference computes these powers but never
+    uses them for selection; power weighting is the many-light upgrade
+    its uniform pmf leaves on the table (SURVEY §2.6), and any pmf>0
+    on contributing lights keeps the estimator unbiased.
+    """
+    n_area = scene.num_lights
+    has_bg = background_enabled(scene)
+    n_total = n_area + (1 if has_bg else 0)
+    if n_total == 0:
+        return None, jnp.float32(0.0)
+    if not power:
+        u = jnp.float32(1.0 / n_total)
+        return (jnp.full(n_area, u) if n_area else None), u
+    w_area = scene.lights.power if n_area else jnp.zeros(0)
+    if has_bg:
+        bg = scene.background
+        if bg.kind == BG_ENVMAP:
+            w_bg = bg.envmap.mean_power
+        else:
+            w_bg = bg.colour.lum() * 4.0 * jnp.pi
+    else:
+        w_bg = jnp.float32(0.0)
+    total = jnp.maximum(jnp.sum(w_area) + w_bg, 1e-30)
+    return ((w_area / total) if n_area else None,
+            jnp.asarray(w_bg / total, jnp.float32))
+
+
 def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
-               r3=None, geom_grads: bool = False) -> LightSample:
-    """Uniformly pick one light per lane and sample a direction to it.
+               r3=None, geom_grads: bool = False,
+               power: bool = False) -> LightSample:
+    """Pick one light per lane (uniformly, or power-weighted with
+    `power` — see selection_pmf) and sample a direction to it.
 
     Area lights follow reference AreaLight::sample (uniform by area, pdf
     1/area, one-sided emission via the cos_light clamp in the G term);
@@ -94,8 +132,25 @@ def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
         z = jnp.zeros(shape)
         return LightSample(V3.zeros(shape), z, V3.zeros(shape), z, z,
                            jnp.zeros(shape, bool))
-    pmf = 1.0 / n_total
-    pick = jnp.minimum((r_pick * n_total).astype(jnp.int32), n_total - 1)
+    if power:
+        pmf_tab, pmf_bg = selection_pmf(scene, True)
+        concat = [pmf_tab] if n_area else []
+        if has_bg:
+            concat.append(pmf_bg[None])
+        pmf_all = jnp.concatenate(concat)
+        cdf = jnp.cumsum(pmf_all)
+        pick = jnp.clip(
+            jnp.searchsorted(cdf, r_pick, side="right").astype(jnp.int32),
+            0, n_total - 1)
+        pmf_pick = pmf_all[pick]
+        pmf_b = jnp.maximum(pmf_bg, 1e-30)
+    else:
+        # uniform (reference Scene::sampleLight): keep the original
+        # pick arithmetic so existing streams/goldens are bit-stable
+        pick = jnp.minimum((r_pick * n_total).astype(jnp.int32),
+                           n_total - 1)
+        pmf_pick = jnp.full(shape, 1.0 / n_total)
+        pmf_b = jnp.float32(1.0 / n_total)
     is_area = pick < n_area if n_area else jnp.zeros(shape, bool)
 
     if n_area:
@@ -131,12 +186,12 @@ def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
         cos_l = jnp.maximum(-wi_a.dot(ln), 0.0)
         # contribution = f * Le * G / (pmf * pdf_area); G = cos_s*cos_l/d2
         g_term = cos_s * cos_l / d2
-        g_over_pdf_a = g_term * area / pmf
+        g_over_pdf_a = g_term * area / pmf_pick
         # solid-angle pdf incl. selection (convertPDFAreaToSolidAngle,
         # Renderer.h:411-422)
         pos_l = cos_l > 0.0
         pdf_solid_a = jnp.where(
-            pos_l, pmf / jnp.maximum(area, 1e-12) * d2
+            pos_l, pmf_pick / jnp.maximum(area, 1e-12) * d2
             / jnp.where(pos_l, jnp.maximum(cos_l, 1e-9), 1.0), 0.0)
         valid_a = g_term > 0.0
     else:
@@ -158,8 +213,8 @@ def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
             pdf_b = warps.uniform_sphere_pdf(wi_b)
             le_b = eval_background(scene, wi_b)
         cos_sb = jnp.maximum(wi_b.dot(sn), 0.0)
-        g_over_pdf_b = cos_sb / jnp.maximum(pdf_b, 1e-12) / pmf
-        pdf_solid_b = pmf * pdf_b
+        g_over_pdf_b = cos_sb / jnp.maximum(pdf_b, 1e-12) / pmf_b
+        pdf_solid_b = pmf_b * pdf_b
         valid_b = (cos_sb > 0.0) & (pdf_b > 0.0)
     else:
         wi_b = V3.zeros(shape)
@@ -179,14 +234,19 @@ def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
 
 
 def hit_light_pdf_solid(scene: Scene, light_id, x: V3, hit_p: V3,
-                        light_gn: V3) -> jax.Array:
+                        light_gn: V3, power: bool = False) -> jax.Array:
     """pdf (solid angle, selection-inclusive) that NEE would have sampled
-    the point we hit by BSDF sampling — the MIS counterweight."""
+    the point we hit by BSDF sampling — the MIS counterweight.  `power`
+    must match sample_one's selection mode or MIS weights are wrong."""
     n_total = num_lights(scene)
     if n_total == 0 or scene.num_lights == 0:
         return jnp.zeros(jnp.shape(x.x))
-    pmf = 1.0 / n_total
     li = jnp.maximum(light_id, 0)
+    if power:
+        pmf_tab, _ = selection_pmf(scene, True)
+        pmf = pmf_tab[li]
+    else:
+        pmf = 1.0 / n_total
     area = scene.lights.area[li]
     to_l = hit_p - x
     d2 = jnp.maximum(to_l.length_sq(), 1e-12)
