@@ -165,18 +165,27 @@ if on_tpu:
         assert 0.85 < ratio < 1.15, f"bathroom mean ratio {ratio}"
         out["bathroom_golden_corr"] = round(corr, 4)
 
-    # --- bathroom fwd+bwd (BASELINE.json: fwd+bwd on BOTH scenes)
+    # --- bathroom fwd+bwd (BASELINE.json: fwd+bwd on BOTH scenes) via
+    # the compacting wavefront backward (integrators/wavefront_diff.py:
+    # per-bounce width tracking + saved-traversal replay; gradients ==
+    # scan-mode, pinned by tests/test_render.py)
+    from raytracingrenderer_tpu.integrators import wavefront_diff
     sb2 = resize(sb, 512, 512)
-    cfgb2 = _diff_cfg(RenderConfig(mis=True, jitter=True, max_depth=4),
-                      sb2)
+    cfgb2 = RenderConfig(mis=True, jitter=True, max_depth=4)
     tgt = jnp.zeros((512, 512, 3), jnp.float32)
-    sb2, _ = _train_step_impl(sb2, tgt, key, cfgb2, 0.0)  # compile
-    jax.block_until_ready(sb2.materials.albedo.x)
+    # warm with the SAME keys as the timed loop: bucket widths depend
+    # on live counts, and an unseen width inside the timed region would
+    # count XLA compile time as render time
+    for i in range(2):
+        loss, g = wavefront_diff.loss_and_grads(
+            sb2, tgt, jax.random.PRNGKey(i), cfgb2)
+    jax.block_until_ready(g)
     t0 = time.perf_counter()
     for i in range(2):
-        sb2, _ = _train_step_impl(sb2, tgt, jax.random.PRNGKey(i), cfgb2,
-                                  0.0)
-    jax.block_until_ready(sb2.materials.albedo.x)
+        loss, g = wavefront_diff.loss_and_grads(sb2, tgt,
+                                                jax.random.PRNGKey(i),
+                                                cfgb2)
+    jax.block_until_ready(g)
     out["bathroom_fwdbwd_pps"] = 512 * 512 * 2 / (time.perf_counter() - t0)
 
 print(json.dumps(out))

@@ -44,18 +44,18 @@ from ..scene.camera import generate_rays
 from ..scene.types import Scene
 from . import path as path_mod
 
-# Bucket widths are multiples of n/8 (floor n/4): measured bathroom
-# liveness [1, .84, .63, .48, .36, .27] lands on [1, .875, .625, .5,
-# .375, .375] — 3.75n rays of bounce work vs 4.5n with power-of-two
-# buckets (a ~17% frame saving), for at most ~6 distinct bounce-graph
-# compiles per scene (each width is its own XLA compile, amortized by
-# the persistent cache).
+# Bucket widths are multiples of n/16 (floor n/8): measured bathroom
+# liveness [1, .84, .63, .48, .36, .27] lands on [1, .875, .6875, .5,
+# .375, .3125] — 3.75n rays of bounce work vs 4.5n with power-of-two
+# buckets and 3.875n with the r3 n/8 steps, for at most ~10 distinct
+# bounce-graph compiles per scene (each width is its own XLA compile,
+# amortized by the persistent cache).
 _MIN_WIDTH = 1 << 15
 
 
 def _bucket(n_live: int, n: int) -> int:
-    step = max(_MIN_WIDTH, n // 8)
-    floor = max(_MIN_WIDTH, n // 4)
+    step = max(_MIN_WIDTH, n // 16)
+    floor = max(_MIN_WIDTH, n // 8)
     w = max(((n_live + step - 1) // step) * step, floor)
     return min(w, n)
 
@@ -120,13 +120,20 @@ def sample_image_wavefront(scene: Scene, key: jax.Array,
     img = jnp.zeros((n, 3), jnp.float32)
     w = n
     for depth in range(cfg.max_depth + 2):
-        img, state, n_live = _sort_flush(scene, img, state)
-        w2 = _bucket(int(n_live), n)
-        if int(n_live) == 0:
-            break
-        if w2 < w:
-            state = jax.tree_util.tree_map(lambda a: a[:w2], state)
-            w = w2
+        if depth == 0:
+            # primaries: every ray is live (nothing to flush) and the
+            # raster order is as coherent as the sort would make it
+            # (one origin, pixel-adjacent directions) — skip the sort
+            # dispatch entirely
+            pass
+        else:
+            img, state, n_live = _sort_flush(scene, img, state)
+            w2 = _bucket(int(n_live), n)
+            if int(n_live) == 0:
+                break
+            if w2 < w:
+                state = jax.tree_util.tree_map(lambda a: a[:w2], state)
+                w = w2
         state = _bounce(scene, state, jnp.int32(depth), key, cfg)
     img = _final_flush(img, state)
     return img.reshape(cam.height, cam.width, 3)

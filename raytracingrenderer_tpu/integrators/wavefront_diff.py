@@ -71,9 +71,11 @@ def _step(params, scene0: Scene, img, fstate, ndstate, depth, key,
     from ..diff import _merge_scene
     scene = _merge_scene(params, scene0)
     state = {**fstate, **ndstate}
-    img, state, _ = _sort_flush_impl(scene, img, state)
+    if depth > 0:  # depth 0 skips the sort (see _forward_tape)
+        img, state, _ = _sort_flush_impl(scene, img, state)
+        if saved is not None:
+            state = jax.tree_util.tree_map(lambda a: a[:w_out], state)
     if saved is not None:
-        state = jax.tree_util.tree_map(lambda a: a[:w_out], state)
         state = path_mod.bounce_step(scene, state,
                                      jnp.int32(depth), key, cfg,
                                      presorted=True, saved=saved)
@@ -124,16 +126,17 @@ def _forward_tape(scene: Scene, key, cfg: RenderConfig):
     tape = []
     for depth in range(cfg.max_depth + 2):
         img_in, state_in = img, state
-        img, state, n_live = _sort_flush_keep(scene, img, state)
-        w2 = _bucket(int(n_live), n)
-        if int(n_live) == 0:
-            tape.append((img_in, state_in, depth, w, None))
-            # flush-only tail: the sorted state (radiance zeroed) feeds
-            # the final flush unchanged
-            break
-        if w2 < w:
-            state = jax.tree_util.tree_map(lambda a: a[:w2], state)
-            w = w2
+        if depth > 0:  # depth 0 skips the sort, as in wavefront.py
+            img, state, n_live = _sort_flush_keep(scene, img, state)
+            w2 = _bucket(int(n_live), n)
+            if int(n_live) == 0:
+                tape.append((img_in, state_in, depth, w, None))
+                # flush-only tail: the sorted state (radiance zeroed)
+                # feeds the final flush unchanged
+                break
+            if w2 < w:
+                state = jax.tree_util.tree_map(lambda a: a[:w2], state)
+                w = w2
         state, saved = _bounce_save(scene, state, jnp.int32(depth), key,
                                     cfg)
         tape.append((img_in, state_in, depth, w, saved))

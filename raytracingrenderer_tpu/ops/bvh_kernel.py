@@ -81,6 +81,10 @@ def _kernel(nodes_ref, leaf_ref,
     oix = ox * ix
     oiy = oy * iy
     oiz = oz * iz
+    # per-block feature G = o x d for the constant-form leaf test
+    gx = oy * dz - oz * dy
+    gy = oz * dx - ox * dz
+    gz = ox * dy - oy * dx
     # block mean direction sign, for the near-child heuristic
     sdx = jnp.sum(dx) > 0.0
     sdy = jnp.sum(dy) > 0.0
@@ -115,46 +119,58 @@ def _kernel(nodes_ref, leaf_ref,
         return one(0), one(6)
 
     def leaf_test(row, m, t_b, tri_b, u_b, v_b):
-        """Unrolled dense MT over the leaf row's triangle slots."""
-        base = leaf_ref[row, LANE_START].astype(jnp.int32)
+        """Constant-form MT over the leaf's slots (see pack_leaves16):
+        ~42 VPU ops/slot vs ~65 for the raw (p0,e1,e2) form, with the
+        o x d feature amortized per block.  Dense unroll on purpose: a
+        per-slot scalar branch on the fill count was measured 50%
+        SLOWER (Mosaic branch + vector-phi overhead,
+        scripts/probe_kernel_ab.py r4)."""
+        r0 = 2 * row
+        r1 = r0 + 1
+        base = leaf_ref[r1, LANE16_START].astype(jnp.int32)
         for k in range(SLOTS):
-            c = 9 * k
-            p0x = leaf_ref[row, c + 0]
-            p0y = leaf_ref[row, c + 1]
-            p0z = leaf_ref[row, c + 2]
-            e1x = leaf_ref[row, c + 3]
-            e1y = leaf_ref[row, c + 4]
-            e1z = leaf_ref[row, c + 5]
-            e2x = leaf_ref[row, c + 6]
-            e2y = leaf_ref[row, c + 7]
-            e2z = leaf_ref[row, c + 8]
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = jnp.where(jnp.abs(det) < DET_EPS, 0.0, 1.0 / det)
-            tvx = ox - p0x
-            tvy = oy - p0y
-            tvz = oz - p0z
-            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-            hit = (m & (jnp.abs(det) >= DET_EPS) & (uu >= 0.0)
-                   & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > 0.0)
-                   & (tt < t_b))
+            rr = r0 if k < 8 else r1
+            c = 16 * (k if k < 8 else k - 8)
+            nx_ = leaf_ref[rr, c + 0]
+            ny_ = leaf_ref[rr, c + 1]
+            nz_ = leaf_ref[rr, c + 2]
+            e1x = leaf_ref[rr, c + 3]
+            e1y = leaf_ref[rr, c + 4]
+            e1z = leaf_ref[rr, c + 5]
+            e2x = leaf_ref[rr, c + 6]
+            e2y = leaf_ref[rr, c + 7]
+            e2z = leaf_ref[rr, c + 8]
+            p1x = leaf_ref[rr, c + 9]
+            p1y = leaf_ref[rr, c + 10]
+            p1z = leaf_ref[rr, c + 11]
+            p2x = leaf_ref[rr, c + 12]
+            p2y = leaf_ref[rr, c + 13]
+            p2z = leaf_ref[rr, c + 14]
+            c0 = leaf_ref[rr, c + 15]
+            det = -(dx * nx_ + dy * ny_ + dz * nz_)
+            tp = ox * nx_ + oy * ny_ + oz * nz_ - c0          # t*det
+            up = (gx * e2x + gy * e2y + gz * e2z
+                  + dx * p2x + dy * p2y + dz * p2z)           # u*det
+            vp = -(gx * e1x + gy * e1y + gz * e1z
+                   + dx * p1x + dy * p1y + dz * p1z)          # v*det
+            sgn = jnp.where(det < 0.0, -1.0, 1.0)
+            ad = det * sgn                                    # |det|
+            su = up * sgn
+            sv = vp * sgn
+            st = tp * sgn
+            hit = (m & (ad >= DET_EPS) & (su >= 0.0) & (sv >= 0.0)
+                   & (su + sv <= ad) & (st > 0.0) & (st < t_b * ad))
             if any_hit:
                 # occluded rays' t_best goes negative: every later mask
                 # and test predicate drops them automatically
                 t_b = jnp.where(hit, -1.0, t_b)
                 tri_b = jnp.where(hit, base + k, tri_b).astype(jnp.int32)
             else:
-                t_b = jnp.where(hit, tt, t_b)
+                r = 1.0 / jnp.where(hit, ad, 1.0)
+                t_b = jnp.where(hit, st * r, t_b)
                 tri_b = jnp.where(hit, base + k, tri_b).astype(jnp.int32)
-                u_b = jnp.where(hit, uu, u_b)
-                v_b = jnp.where(hit, vv, v_b)
+                u_b = jnp.where(hit, su * r, u_b)
+                v_b = jnp.where(hit, sv * r, v_b)
         return t_b, tri_b, u_b, v_b
 
     def body(state):
@@ -168,12 +184,13 @@ def _kernel(nodes_ref, leaf_ref,
         sp = jnp.where(do_pop, slot, sp)
 
         m = te < t_b
-        # whole-block liveness: by pop time t_b has usually improved
-        # past a stack entry's saved t_entry, so late-traversal visits
-        # are often fully pruned — a scalar branch per visit buys back
-        # their dead 2-slab/leaf-MT vector cost (the dominant per-visit
-        # term)
-        m_any = jnp.any(m)
+        # any-hit only: occluded rays drop out (t_b = -1), so whole
+        # blocks go dead as the walk proceeds — a scalar liveness branch
+        # per visit buys back their 2-slab/leaf-MT vector cost (-12% on
+        # real NEE batches).  For closest-hit the branch overhead LOSES
+        # ~12% (fully-pruned visits are rare before rays terminate), so
+        # the guard is compiled out (scripts/probe_kernel_ab.py).
+        m_any = jnp.any(m) if any_hit else jnp.bool_(True)
         is_leaf = code < 0
 
         # ---- leaf: dense unrolled MT over one full leaf row ------------
@@ -199,8 +216,11 @@ def _kernel(nodes_ref, leaf_ref,
             z = jnp.int32(0)
             return inf, inf, z, z, z
 
-        tel, ter, lcode, rcode, ab = jax.lax.cond(
-            m_any & jnp.logical_not(is_leaf), live_inner, pruned, 0)
+        if any_hit:
+            tel, ter, lcode, rcode, ab = jax.lax.cond(
+                m_any & jnp.logical_not(is_leaf), live_inner, pruned, 0)
+        else:
+            tel, ter, lcode, rcode, ab = live_inner(0)
         axis = ab & 3  # bit0..1: axis, bit2: left child lower on axis
         l_low = (ab & 4) > 0
         d_pos = jax.lax.select(axis == 0, sdx,
@@ -319,6 +339,62 @@ def widen(bvh: BVH) -> BVH:
     return bvh.replace_wide(wsel, wcode, waxis)
 
 
+def pack_leaves16(bvh: BVH, tris: Triangles) -> jax.Array:
+    """(2L, 128) f32 leaf rows in CONSTANT-FORM: each slot stores the
+    precomputed scalar-triple-product constants instead of raw
+    (p0, e1, e2), so the kernel's per-slot Moller-Trumbore collapses
+    from ~65 VPU ops to ~42 using the per-block feature G = o x d:
+
+        det   = -(d . N),            N  = e1 x e2
+        t*det =  o . N - c0,         c0 = p0 . N
+        u*det =  G . e2 + d . P2,    P2 = p0 x e2
+        v*det = -G . e1 - d . P1,    P1 = p0 x e1
+
+    (identities det3(a,b,c) = a.(bxc) with G = o x d; u, v, t recover
+    by one reciprocal of det on hit lanes).  16 consts/slot
+    [N e1 e2 P1 P2 c0] -> slots 0-7 in row 2i (8*16 = 128 lanes),
+    slots 8-13 in row 2i+1 (96 lanes) with the base triangle index and
+    count at lanes 120/121.  Empty slots are all-zero: det == 0 fails
+    the |det| >= eps predicate.
+    """
+    right = bvh.right
+    b = right.shape[0]
+    is_int = right >= 0
+    n_leaf = (int(b) + 1) // 2
+    leaf_ids = jnp.nonzero(~is_int, size=n_leaf, fill_value=0)[0]
+    start = bvh.start[leaf_ids]
+    count = bvh.count[leaf_ids]
+    t_count = tris.count
+    k = jnp.arange(SLOTS, dtype=jnp.int32)
+    ti = jnp.clip(start[:, None] + k[None, :], 0, max(t_count - 1, 0))
+    valid = k[None, :] < count[:, None]
+
+    def stack3(v):
+        return jnp.stack([v.x, v.y, v.z], axis=-1).astype(jnp.float32)
+
+    p0 = stack3(tris.p0)
+    e1 = stack3(tris.e1)
+    e2 = stack3(tris.e2)
+    n = jnp.cross(e1, e2)
+    p1 = jnp.cross(p0, e1)
+    p2 = jnp.cross(p0, e2)
+    c0 = jnp.sum(p0 * n, axis=-1, keepdims=True)
+    tri16 = jnp.concatenate([n, e1, e2, p1, p2, c0], axis=-1)  # (T, 16)
+    g = jnp.where(valid[..., None], tri16[ti], 0.0)  # (L, SLOTS, 16)
+    row_a = g[:, :8].reshape(n_leaf, 128)
+    row_b = jnp.concatenate([
+        g[:, 8:].reshape(n_leaf, 96),
+        jnp.zeros((n_leaf, 24), jnp.float32),
+        start.astype(jnp.float32)[:, None],
+        count.astype(jnp.float32)[:, None],
+        jnp.zeros((n_leaf, 6), jnp.float32)], axis=1)  # (L, 128)
+    return jnp.stack([row_a, row_b], axis=1).reshape(2 * n_leaf, 128)
+
+
+LANE16_START = 120   # row 2i+1 lane holding the base triangle index
+LANE16_COUNT = 121
+
+
 def pack_leaves(bvh: BVH, tris: Triangles) -> jax.Array:
     """(L, 128) f32 leaf rows: SLOTS triangles x 9 floats + base index +
     count; shared by the binary and wide node kernels."""
@@ -424,6 +500,7 @@ def _kernel_wide(nodes_ref, leaf_ref,
         return jnp.where(ok, te, INF)
 
     def leaf_test(row, m, t_b, tri_b, u_b, v_b):
+        # dense unroll on purpose — see _kernel.leaf_test
         base = leaf_ref[row, LANE_START].astype(jnp.int32)
         for k in range(SLOTS):
             c = 9 * k
@@ -473,7 +550,8 @@ def _kernel_wide(nodes_ref, leaf_ref,
         sp = jnp.where(do_pop, slot, sp)
 
         m = te < t_b
-        m_any = jnp.any(m)  # skip fully-pruned visits (see _kernel)
+        # liveness guard for any-hit only (see _kernel)
+        m_any = jnp.any(m) if any_hit else jnp.bool_(True)
         is_leaf = code < 0
 
         leaf_row = jnp.maximum((-code) - 1, 0)
@@ -500,8 +578,11 @@ def _kernel_wide(nodes_ref, leaf_ref,
             z = jnp.int32(0)
             return inf, inf, inf, inf, z, z, z, z, z
 
-        te0, te1, te2, te3, c0, c1, c2, c3, axis = jax.lax.cond(
-            m_any & jnp.logical_not(is_leaf), live_inner, pruned, 0)
+        if any_hit:
+            te0, te1, te2, te3, c0, c1, c2, c3, axis = jax.lax.cond(
+                m_any & jnp.logical_not(is_leaf), live_inner, pruned, 0)
+        else:
+            te0, te1, te2, te3, c0, c1, c2, c3, axis = live_inner(0)
         d_pos = jax.lax.select(axis == 0, sdx,
                                jax.lax.select(axis == 1, sdy, sdz))
         # children stored ascending along axis; iterate far -> near so
@@ -553,7 +634,8 @@ def _kernel_wide(nodes_ref, leaf_ref,
 
 def pack_tables(bvh: BVH, tris: Triangles
                 ) -> Tuple[jax.Array, jax.Array]:
-    """Pack (nodes (I, 16) f32, leaves (L, 128) f32) kernel tables.
+    """Pack (nodes (I, 16) f32, leaves (2L, 128) f32 constant-form)
+    kernel tables.
 
     Codes are stored as f32 integers (exact: all indices < 2^24);
     internal child = its internal row index, leaf child = -(leaf_row+1).
@@ -572,7 +654,7 @@ def pack_tables(bvh: BVH, tris: Triangles
     lid = jnp.cumsum((~is_int).astype(jnp.int32)) - 1
     int_ids = jnp.nonzero(is_int, size=n_int, fill_value=0)[0]
 
-    leaves = pack_leaves(bvh, tris)
+    leaves = pack_leaves16(bvh, tris)
 
     # ---- internal rows --------------------------------------------------
     left = int_ids + 1
@@ -710,9 +792,10 @@ def any_hit_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, max_t,
 
 def table_bytes(bvh: BVH, tris: Triangles) -> int:
     """VMEM footprint of the resident tables (every row is padded to 128
-    lanes = 512 B by Mosaic; guard for the dispatch)."""
+    lanes = 512 B by Mosaic; guard for the dispatch).  Constant-form
+    leaves use two rows per leaf (pack_leaves16)."""
     b = bvh.right.shape[0]
-    return (b + 1) * 512  # I + L = B rows total
+    return (b + (b + 1)) * 512  # I + 2L rows
 
 
 def wide_ok(bvh: BVH) -> bool:
