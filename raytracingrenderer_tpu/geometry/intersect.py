@@ -389,6 +389,12 @@ def closest_hit(scene, o: V3, d: V3, active=None,
         return jax.tree_util.tree_map(jax.lax.stop_gradient, h)
     if scene.bvh is not None and scene.triangles.count > 64:
         if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
+            # (No proxy pre-pass here: seeding closest-hit with a
+            # top-128-triangle t bound measured +5% — near-first
+            # ordered traversal self-bounds within its first visits,
+            # so the proxy bound only duplicates it.  The pre-pass
+            # pays on the any-hit path below, where a resolved ray
+            # skips traversal entirely: -20%.)
             if presorted:
                 h = bvh_kernel.traverse_packet(scene.bvh, tris, o, d,
                                                t_init)
@@ -428,6 +434,27 @@ def closest_hit(scene, o: V3, d: V3, active=None,
 # stack and pipeline buffers.
 _PACKET_TABLE_BYTES = 96 * 1024 * 1024
 
+# Proxy pre-pass (packet path only): brute-test every ray against the
+# K largest triangles first.  Interior scenes are enclosed by a handful
+# of big surfaces (walls/floor/ceiling: bathroom's top-128 by area),
+# so almost every bounce ray gets a TIGHT t upper bound for ~2 ms of
+# SMEM-resident MT — and the packet traversal's per-ray re-pruning
+# (t_entry < t_best) then culls whole subtrees beyond the wall the ray
+# would hit.  This attacks the block-union cost the coherence sort
+# can't: a block's rays may wander anywhere, but none can wander PAST
+# its proxy hit.  Shadow rays occluded by a big surface resolve
+# entirely and skip traversal.
+_PREPASS_K = 128
+
+
+def _proxy_prepass(tris: Triangles, o: V3, d: V3, t_init) -> Hit:
+    from ..ops import mt_kernel
+    k = min(_PREPASS_K, tris.count)
+    _, idx = jax.lax.top_k(tris.area, k)  # hoisted: loop-invariant
+    sub = jax.tree_util.tree_map(lambda a: a[idx], tris)
+    h = mt_kernel.intersect_pallas(sub, o, d, t_init)
+    return h._replace(tri=jnp.where(h.tri >= 0, idx[h.tri], -1))
+
 
 def _packet_fits(bvh, tris) -> bool:
     from ..ops import bvh_kernel
@@ -456,13 +483,20 @@ def occluded(scene, o: V3, d: V3, max_t: jax.Array,
                                     any_hit=True).tri >= 0)
     if scene.bvh is not None and scene.triangles.count > 64:
         if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
+            # proxy pre-pass: segments blocked by a big surface resolve
+            # here and skip traversal (their max_t goes negative)
+            pre_occ = _proxy_prepass(tris, o, d, max_t).tri >= 0
+            rem_t = jnp.where(pre_occ, -1.0, max_t)
             if presorted:
-                return tag(bvh_kernel.traverse_packet(
-                    scene.bvh, tris, o, d, max_t, any_hit=True).tri >= 0)
-            return tag(_sorted_call(
-                scene, o, d, max_t > 0.0, (max_t,),
-                lambda so, sd, st: bvh_kernel.traverse_packet(
-                    scene.bvh, tris, so, sd, st, any_hit=True).tri >= 0))
+                occ = bvh_kernel.traverse_packet(
+                    scene.bvh, tris, o, d, rem_t, any_hit=True).tri >= 0
+            else:
+                occ = _sorted_call(
+                    scene, o, d, rem_t > 0.0, (rem_t,),
+                    lambda so, sd, st: bvh_kernel.traverse_packet(
+                        scene.bvh, tris, so, sd, st,
+                        any_hit=True).tri >= 0)
+            return tag(occ | pre_occ)
         return tag(any_hit_bvh(scene.bvh, tris, o, d, max_t))
     if mt_kernel.use_pallas():
         return tag(mt_kernel.any_hit_pallas(tris, o, d, max_t))
