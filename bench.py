@@ -29,8 +29,12 @@ BASELINE_PPS = 15e6      # pixel-paths/s, reference cornell-box class
 BASELINE_BATHROOM = 0.25e6  # midpoint of the 0.1-0.4 M pps envelope
 
 _CHILD = r"""
-import json, time, sys
+import json, time, sys, os
 import jax
+if os.environ.get("BENCH_FORCE_CPU"):
+    # JAX_PLATFORMS in the env is overridden by the ambient TPU
+    # sitecustomize; the config knob is authoritative
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from raytracingrenderer_tpu.config import RenderConfig
 from raytracingrenderer_tpu.imaging import film as film_mod
@@ -272,10 +276,10 @@ def _run(env_extra, timeout, code=None):
 
 
 def main():
-    result = _run({}, timeout=1500)  # default backend (TPU when healthy)
+    result = _run({}, timeout=2200)  # default backend (TPU when healthy)
     metric = "cornell-box_1024sq_pixel_paths_per_sec"
     if result is None or result.get("backend") != "tpu":
-        cpu = _run({"JAX_PLATFORMS": "cpu"}, timeout=400)
+        cpu = _run({"BENCH_FORCE_CPU": "1"}, timeout=400)
         if result is None:
             result = cpu
             metric += "_cpu_fallback"
