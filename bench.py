@@ -86,21 +86,23 @@ if on_tpu:
     out["regression_ratio_vs_result144"] = round(float(ratio), 4)
 
 # ---------------- cornell-box fwd+bwd (north-star extra) --------------
+# Scanned multi-step training (diff.train_steps): n SGD steps per
+# device dispatch, matching how the forward number amortizes its
+# dispatch overhead over 32-sample chunks — apples to apples.
 import jax.numpy as jnp
-from raytracingrenderer_tpu.diff import _train_step_impl, _diff_cfg
+from raytracingrenderer_tpu.diff import train_steps
 
 bw, bh = (1024, 1024) if on_tpu else (128, 128)
 sc2 = resize(scene, bw, bh)
-cfg2 = _diff_cfg(RenderConfig(mis=True, jitter=True, max_depth=4), sc2)
+cfg2 = RenderConfig(mis=True, jitter=True, max_depth=4)
 target = jnp.zeros((bh, bw, 3), jnp.float32)
 key = jax.random.PRNGKey(0)
-sc2, _ = _train_step_impl(sc2, target, key, cfg2, 0.01)  # compile
-jax.block_until_ready(sc2.materials.albedo.x)
 steps = 8 if on_tpu else 1
+sc2, _ = train_steps(sc2, target, key, cfg2, 0.01, steps)  # compile
+jax.block_until_ready(sc2.materials.albedo.x)
 t0 = time.perf_counter()
-for i in range(steps):
-    sc2, loss = _train_step_impl(sc2, target, jax.random.PRNGKey(i), cfg2,
-                                 0.01)
+sc2, losses = train_steps(sc2, target, jax.random.PRNGKey(1), cfg2,
+                          0.01, steps)
 jax.block_until_ready(sc2.materials.albedo.x)
 dt = time.perf_counter() - t0
 out["fwdbwd_pps"] = bw * bh * steps / dt

@@ -129,6 +129,36 @@ def train_step(scene: Scene, target: jax.Array, key, cfg: RenderConfig,
     return _train_step_impl(scene, target, key, _diff_cfg(cfg, scene), lr)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "lr", "n"))
+def _train_steps_impl(scene: Scene, target: jax.Array, base_key,
+                      cfg: RenderConfig, lr: float, n: int):
+    params, _ = _split_scene(scene)
+
+    def step(params, i):
+        key = jax.random.fold_in(base_key, i)
+        loss, grads = jax.value_and_grad(render_loss)(
+            params, scene, target, key, cfg)
+        params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params,
+                                        grads)
+        return params, loss
+
+    params, losses = jax.lax.scan(step, params,
+                                  jnp.arange(n, dtype=jnp.int32))
+    return _merge_scene(params, scene), losses
+
+
+def train_steps(scene: Scene, target: jax.Array, base_key,
+                cfg: RenderConfig, lr: float = 0.1, n: int = 8):
+    """`n` SGD steps in ONE device dispatch (lax.scan over steps, step
+    i keyed by fold_in(base_key, i)) — the training analogue of
+    render._render_chunk: per-dispatch overhead amortizes over the
+    loop instead of taxing every step.  Equivalent to n sequential
+    train_step calls with the same folded keys (tests pin this).
+    Returns (scene, (n,) per-step losses)."""
+    return _train_steps_impl(scene, target, base_key,
+                             _diff_cfg(cfg, scene), lr, n)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _param_grads_impl(scene: Scene, target: jax.Array, key,
                       cfg: RenderConfig):

@@ -146,6 +146,26 @@ class TestGradients:
         sc, loss1 = train_step(sc, target, key, CFG, lr=0.5)
         assert float(loss1) < float(loss0)
 
+    def test_train_steps_scan_matches_sequential(self, scene):
+        """diff.train_steps (n steps in one scanned dispatch) must equal
+        n sequential train_step calls with the same folded keys."""
+        from raytracingrenderer_tpu.diff import train_steps
+        base = jax.random.PRNGKey(11)
+        target = jnp.zeros((24, 24, 3))
+        sc_scan, losses = train_steps(scene, target, base, CFG, 0.3, 2)
+        sc_seq = scene
+        seq_losses = []
+        for i in range(2):
+            sc_seq, li = train_step(sc_seq, target,
+                                    jax.random.fold_in(base, i), CFG,
+                                    lr=0.3)
+            seq_losses.append(float(li))
+        np.testing.assert_allclose(np.asarray(losses), seq_losses,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sc_scan.materials.albedo.x),
+            np.asarray(sc_seq.materials.albedo.x), rtol=1e-5, atol=1e-7)
+
 
 class TestBoundaryBias:
     def test_occluder_translation_bias_is_detected(self, scene):
