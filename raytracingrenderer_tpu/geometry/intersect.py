@@ -407,6 +407,13 @@ def closest_hit(scene, o: V3, d: V3, active=None,
                         scene.bvh, tris, so, sd, st))
             h = h._replace(t=jnp.where(h.tri >= 0, h.t, BIG_T))
         else:
+            # Fallback for scenes whose packet tables exceed VMEM.
+            # CAUTION (measured r4): on the tunneled TPU backend this
+            # lockstep while_loop runs until the LAST ray finishes —
+            # ~1e5 gather iterations on incoherent bounce rays — and
+            # can trip the device watchdog (worker crash).  Fine on
+            # CPU and for coherent primaries; beyond-VMEM scenes on
+            # TPU should use scene_shards=N instead.
             h = _traverse_stackless(scene.bvh, tris, o, d, t_init, False,
                                     scene.bvh.leaf_max)
             h = h._replace(t=jnp.where(h.tri >= 0, h.t, BIG_T))
