@@ -118,7 +118,7 @@ def _kernel(nodes_ref, leaf_ref,
 
         return one(0), one(6)
 
-    def leaf_test(row, m, t_b, tri_b, u_b, v_b):
+    def leaf_test16(row, m, t_b, tri_b, u_b, v_b):
         """Constant-form MT over the leaf's slots (see pack_leaves16):
         ~42 VPU ops/slot vs ~65 for the raw (p0,e1,e2) form, with the
         o x d feature amortized per block.  Dense unroll on purpose: a
@@ -172,6 +172,51 @@ def _kernel(nodes_ref, leaf_ref,
                 u_b = jnp.where(hit, su * r, u_b)
                 v_b = jnp.where(hit, sv * r, v_b)
         return t_b, tri_b, u_b, v_b
+
+    def leaf_test9(row, m, t_b, tri_b, u_b, v_b):
+        """Raw-form MT over 9-float slots (pack_leaves): measured best
+        for closest-hit, where the constant-form's extra scalar reads
+        outweigh its op savings (+3%); any-hit uses leaf_test16 (-4%)."""
+        base = leaf_ref[row, LANE_START].astype(jnp.int32)
+        for k in range(SLOTS):
+            c = 9 * k
+            p0x = leaf_ref[row, c + 0]
+            p0y = leaf_ref[row, c + 1]
+            p0z = leaf_ref[row, c + 2]
+            e1x = leaf_ref[row, c + 3]
+            e1y = leaf_ref[row, c + 4]
+            e1z = leaf_ref[row, c + 5]
+            e2x = leaf_ref[row, c + 6]
+            e2y = leaf_ref[row, c + 7]
+            e2z = leaf_ref[row, c + 8]
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = jnp.where(jnp.abs(det) < DET_EPS, 0.0, 1.0 / det)
+            tvx = ox - p0x
+            tvy = oy - p0y
+            tvz = oz - p0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            hit = (m & (jnp.abs(det) >= DET_EPS) & (uu >= 0.0)
+                   & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > 0.0)
+                   & (tt < t_b))
+            if any_hit:
+                t_b = jnp.where(hit, -1.0, t_b)
+                tri_b = jnp.where(hit, base + k, tri_b).astype(jnp.int32)
+            else:
+                t_b = jnp.where(hit, tt, t_b)
+                tri_b = jnp.where(hit, base + k, tri_b).astype(jnp.int32)
+                u_b = jnp.where(hit, uu, u_b)
+                v_b = jnp.where(hit, vv, v_b)
+        return t_b, tri_b, u_b, v_b
+
+    leaf_test = leaf_test16 if any_hit else leaf_test9
 
     def body(state):
         it, sp, have, code, te, t_b, tri_b, u_b, v_b = state
@@ -844,10 +889,11 @@ def _kernel_wide(nodes_ref, leaf_ref,
     v_ref[...] = v_b
 
 
-def pack_tables(bvh: BVH, tris: Triangles
+def pack_tables(bvh: BVH, tris: Triangles, leaf16: bool = True
                 ) -> Tuple[jax.Array, jax.Array]:
-    """Pack (nodes (I, 16) f32, leaves (2L, 128) f32 constant-form)
-    kernel tables.
+    """Pack (nodes (I, 16) f32, leaves f32) kernel tables; leaves are
+    constant-form (2L, 128) rows with leaf16 (the any-hit kernel's
+    form) or raw 9-float (L, 128) rows without (closest-hit's form).
 
     Codes are stored as f32 integers (exact: all indices < 2^24);
     internal child = its internal row index, leaf child = -(leaf_row+1).
@@ -866,7 +912,8 @@ def pack_tables(bvh: BVH, tris: Triangles
     lid = jnp.cumsum((~is_int).astype(jnp.int32)) - 1
     int_ids = jnp.nonzero(is_int, size=n_int, fill_value=0)[0]
 
-    leaves = pack_leaves16(bvh, tris)
+    leaves = pack_leaves16(bvh, tris) if leaf16 else pack_leaves(bvh,
+                                                                 tris)
 
     # ---- internal rows --------------------------------------------------
     left = int_ids + 1
@@ -938,7 +985,9 @@ def traverse_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
     if wide:
         nodes, leaves = pack_tables_wide(bvh, tris)
     else:
-        nodes, leaves = pack_tables(bvh, tris)
+        # dual always reads constant-form rows; the single-visit kernel
+        # picks the measured-best form per query type
+        nodes, leaves = pack_tables(bvh, tris, leaf16=any_hit or dual)
     init_code = _init_code(bvh)
     n_nodes = bvh.right.shape[0]
     pad = (-n) % ray_block
