@@ -125,7 +125,18 @@ def train_step(scene: Scene, target: jax.Array, key, cfg: RenderConfig,
     step (or every few steps) when optimizing geometry; it refreshes
     both over the fixed tree topology (tests/test_diff.py exercises a
     multi-step light-translation optimization with refit).
+
+    BVH-scale scenes auto-dispatch to the compacting wavefront backward
+    (integrators/wavefront_diff.py) — the same policy render() uses for
+    the forward — so training on e.g. bathroom pays compacted widths
+    per bounce instead of full batch width at every scan step.
+    Gradients are equal either way (test-pinned); cfg.wavefront
+    forces the choice.
     """
+    from .render import _use_wavefront
+    if _use_wavefront(scene, cfg):
+        from .integrators import wavefront_diff
+        return wavefront_diff.train_step(scene, target, key, cfg, lr)
     return _train_step_impl(scene, target, key, _diff_cfg(cfg, scene), lr)
 
 
@@ -154,7 +165,22 @@ def train_steps(scene: Scene, target: jax.Array, base_key,
     render._render_chunk: per-dispatch overhead amortizes over the
     loop instead of taxing every step.  Equivalent to n sequential
     train_step calls with the same folded keys (tests pin this).
-    Returns (scene, (n,) per-step losses)."""
+    Returns (scene, (n,) per-step losses).
+
+    BVH-scale scenes run the compacting wavefront backward per step
+    instead (host loop: its per-bounce dispatch widths are data-
+    dependent, so it cannot sit inside one lax.scan) — per-step
+    dispatch overhead is noise next to BVH traversal there."""
+    from .render import _use_wavefront
+    if _use_wavefront(scene, cfg):
+        from .integrators import wavefront_diff
+        losses = []
+        for i in range(n):
+            key = jax.random.fold_in(base_key, i)
+            scene, loss = wavefront_diff.train_step(scene, target, key,
+                                                    cfg, lr)
+            losses.append(loss)
+        return scene, jnp.stack(losses)
     return _train_steps_impl(scene, target, base_key,
                              _diff_cfg(cfg, scene), lr, n)
 

@@ -463,10 +463,13 @@ def _proxy_prepass(tris: Triangles, o: V3, d: V3, t_init) -> Hit:
     return h._replace(tri=jnp.where(h.tri >= 0, idx[h.tri], -1))
 
 
-def _packet_fits(bvh, tris) -> bool:
+def _packet_fits(bvh, tris, leaf16: bool = False) -> bool:
+    """leaf16: the any-hit kernel's constant-form leaves cost 2 rows per
+    leaf; closest-hit's raw leaves cost 1 (see bvh_kernel.table_bytes)."""
     from ..ops import bvh_kernel
     return (bvh_kernel.usable(bvh)
-            and bvh_kernel.table_bytes(bvh, tris) <= _PACKET_TABLE_BYTES)
+            and bvh_kernel.table_bytes(bvh, tris, leaf16)
+            <= _PACKET_TABLE_BYTES)
 
 
 def occluded(scene, o: V3, d: V3, max_t: jax.Array,
@@ -490,19 +493,26 @@ def occluded(scene, o: V3, d: V3, max_t: jax.Array,
                                     any_hit=True).tri >= 0)
     if scene.bvh is not None and scene.triangles.count > 64:
         if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
+            # constant-form leaves (2 rows/leaf) are the measured-best
+            # any-hit form, but cost ~1.5x the raw tables: degrade to
+            # raw leaves rather than to the stackless fallback (which
+            # can trip the TPU watchdog on incoherent rays) when only
+            # the bigger form exceeds the VMEM budget (advisor r4)
+            leaf16 = _packet_fits(scene.bvh, tris, leaf16=True)
             # proxy pre-pass: segments blocked by a big surface resolve
             # here and skip traversal (their max_t goes negative)
             pre_occ = _proxy_prepass(tris, o, d, max_t).tri >= 0
             rem_t = jnp.where(pre_occ, -1.0, max_t)
             if presorted:
                 occ = bvh_kernel.traverse_packet(
-                    scene.bvh, tris, o, d, rem_t, any_hit=True).tri >= 0
+                    scene.bvh, tris, o, d, rem_t, any_hit=True,
+                    leaf16=leaf16).tri >= 0
             else:
                 occ = _sorted_call(
                     scene, o, d, rem_t > 0.0, (rem_t,),
                     lambda so, sd, st: bvh_kernel.traverse_packet(
-                        scene.bvh, tris, so, sd, st,
-                        any_hit=True).tri >= 0)
+                        scene.bvh, tris, so, sd, st, any_hit=True,
+                        leaf16=leaf16).tri >= 0)
             return tag(occ | pre_occ)
         return tag(any_hit_bvh(scene.bvh, tris, o, d, max_t))
     if mt_kernel.use_pallas():

@@ -33,8 +33,14 @@ import numpy as np
 from ..scene.types import BVH, Scene, SceneBounds
 from ..core.vec import V3
 
-# levels cache: id(right array) -> (parent-free level index lists)
-_LEVELS_CACHE: Dict[int, List[np.ndarray]] = {}
+# levels cache: content fingerprint of the `right` topology array ->
+# level index lists.  Keyed by (size, blake2b(right.tobytes())), NOT by
+# id(): np.asarray(bvh.right) creates a fresh wrapper each call, so an
+# id() key never legitimately hits AND can alias a different topology
+# after GC reuses the address (advisor r4) — silently corrupt bounds.
+# Hashing 660k int32 (~2.6 MB) costs ~1 ms, far below the O(B*depth)
+# level computation it saves.
+_LEVELS_CACHE: Dict[Tuple[int, bytes], List[np.ndarray]] = {}
 
 
 def _internal_levels(right: np.ndarray) -> List[np.ndarray]:
@@ -45,7 +51,10 @@ def _internal_levels(right: np.ndarray) -> List[np.ndarray]:
     numpy — milliseconds for the 660k-node bathroom tree, cached per
     topology (refit never changes topology).
     """
-    key = id(right)
+    import hashlib
+    right = np.ascontiguousarray(right)
+    key = (right.shape[0],
+           hashlib.blake2b(right.tobytes(), digest_size=16).digest())
     hit = _LEVELS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -132,8 +141,17 @@ def refit(scene: Scene) -> Scene:
         ti = lt.tri
         tr = scene.triangles
         g = lambda c: c.gather(ti)
+        e1, e2 = g(tr.e1), g(tr.e2)
+        # area/power recomputed too (advisor r4): today only tri_p0 is
+        # a parameter (rigid translation, area-preserving), but if
+        # e1/e2 ever join the surface, stale areas would silently skew
+        # NEE pdfs and power-weighted selection.  power matches the
+        # loader: Lum(Le) * area (Rec.709 weights).
+        cr = e1.cross(e2)
+        area = 0.5 * jnp.sqrt(cr.dot(cr))
         out = out._replace(lights=lt._replace(
-            p0=g(tr.p0), e1=g(tr.e1), e2=g(tr.e2), gn=g(tr.gn)))
+            p0=g(tr.p0), e1=e1, e2=e2, gn=g(tr.gn), area=area,
+            power=lt.le.lum() * area))
     bvh = scene.bvh
     if isinstance(bvh, BVH):
         bvh = refit_bvh(bvh, scene.triangles)

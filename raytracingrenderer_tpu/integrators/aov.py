@@ -47,7 +47,8 @@ def direct_image(scene: Scene, key, cfg: RenderConfig) -> jax.Array:
     r2 = rng.uniform(key, 0, rng.LIGHT_POS_V, (n,))
     r3 = rng.uniform(key, 0, rng.LIGHT_AUX, (n,))
     out = out + compute_direct(scene, sh, found & ~is_light,
-                               r_pick, r1, r2, cfg.mis, r3=r3)
+                               r_pick, r1, r2, cfg.mis, r3=r3,
+                               power=cfg.power_lights)
     return out.stacked().reshape(cam.height, cam.width, 3)
 
 

@@ -142,7 +142,12 @@ def sample_one(scene: Scene, x: V3, sn: V3, r_pick, r1, r2,
         pick = jnp.clip(
             jnp.searchsorted(cdf, r_pick, side="right").astype(jnp.int32),
             0, n_total - 1)
-        pmf_pick = pmf_all[pick]
+        # clamp: f32 cumsum roundoff can land r_pick >= cdf[-1], where
+        # the clip above selects a possibly-zero-pmf tail entry; an
+        # unclamped pmf makes g_over_pdf_a inf, and 0*inf in the vjp
+        # leaks NaN under geom_grads (advisor r4 — same transpose
+        # hazard the d2 clamp below guards)
+        pmf_pick = jnp.maximum(pmf_all[pick], 1e-12)
         pmf_b = jnp.maximum(pmf_bg, 1e-30)
     else:
         # uniform (reference Scene::sampleLight): keep the original

@@ -67,7 +67,7 @@ def _kernel(nodes_ref, leaf_ref,
             t_ref, tri_ref, u_ref, v_ref,
             tstack_ref, nstack_ref,
             *, init_code: int, max_iters: int, any_hit: bool,
-            ray_sub: int):
+            ray_sub: int, leaf16: bool):
     blk = (ray_sub, RAY_LANE)
     ox = ox_ref[...]
     oy = oy_ref[...]
@@ -216,7 +216,7 @@ def _kernel(nodes_ref, leaf_ref,
                 v_b = jnp.where(hit, vv, v_b)
         return t_b, tri_b, u_b, v_b
 
-    leaf_test = leaf_test16 if any_hit else leaf_test9
+    leaf_test = leaf_test16 if leaf16 else leaf_test9
 
     def body(state):
         it, sp, have, code, te, t_b, tri_b, u_b, v_b = state
@@ -309,218 +309,6 @@ def _kernel(nodes_ref, leaf_ref,
             jnp.zeros(blk, jnp.float32))
     out = jax.lax.while_loop(cond, body, init)
     _, _, _, _, _, t_b, tri_b, u_b, v_b = out
-    t_ref[...] = t_b
-    tri_ref[...] = tri_b
-    u_ref[...] = u_b
-    v_ref[...] = v_b
-
-
-def _kernel_dual(nodes_ref, leaf_ref,
-                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
-                 t_ref, tri_ref, u_ref, v_ref,
-                 tstack_ref, nstack_ref,
-                 *, init_code: int, max_iters: int, any_hit: bool,
-                 ray_sub: int):
-    """Dual-visit variant of _kernel: each while iteration processes TWO
-    independent stack entries over the same ray block.
-
-    The r4 A/B evidence (docs/PROFILE_bathroom_r4.md) says a visit is
-    LATENCY-bound — scalar pop -> node-row reads -> short vector chains
-    — not VPU-throughput-bound, so two visits whose dependency chains
-    interleave take much less than 2x one visit while consuming the
-    traversal work queue twice as fast.  Correctness is order-free (the
-    near-first heuristic only affects pruning quality); the two walks
-    share the block's t_best, so each prunes against the other's hits.
-    Stack worst case is two concurrent DFS walks: 2*MAX_STACK entries.
-    """
-    blk = (ray_sub, RAY_LANE)
-    ox = ox_ref[...]
-    oy = oy_ref[...]
-    oz = oz_ref[...]
-    dx = dx_ref[...]
-    dy = dy_ref[...]
-    dz = dz_ref[...]
-    ix = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
-    iy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
-    iz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
-    oix = ox * ix
-    oiy = oy * iy
-    oiz = oz * iz
-    gx = oy * dz - oz * dy
-    gy = oz * dx - ox * dz
-    gz = ox * dy - oy * dx
-    sdx = jnp.sum(dx) > 0.0
-    sdy = jnp.sum(dy) > 0.0
-    sdz = jnp.sum(dz) > 0.0
-
-    def slab(c0, t_b, m):
-        def one(base):
-            lox = nodes_ref[c0, base + 0]
-            loy = nodes_ref[c0, base + 1]
-            loz = nodes_ref[c0, base + 2]
-            hix = nodes_ref[c0, base + 3]
-            hiy = nodes_ref[c0, base + 4]
-            hiz = nodes_ref[c0, base + 5]
-            t0x = lox * ix - oix
-            t1x = hix * ix - oix
-            t0y = loy * iy - oiy
-            t1y = hiy * iy - oiy
-            t0z = loz * iz - oiz
-            t1z = hiz * iz - oiz
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                           jnp.minimum(t0y, t1y)),
-                               jnp.minimum(t0z, t1z))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                           jnp.maximum(t0y, t1y)),
-                               jnp.maximum(t0z, t1z))
-            te = jnp.maximum(tmin, 0.0)
-            ok = m & (tmax >= te) & (te < t_b)
-            return jnp.where(ok, te, INF)
-
-        return one(0), one(6)
-
-    def leaf_test(row, m, t_b, tri_b, u_b, v_b):
-        # constant-form MT (pack_leaves16), as in _kernel.leaf_test
-        r0 = 2 * row
-        r1 = r0 + 1
-        base = leaf_ref[r1, LANE16_START].astype(jnp.int32)
-        for k in range(SLOTS):
-            rr = r0 if k < 8 else r1
-            c = 16 * (k if k < 8 else k - 8)
-            nx_ = leaf_ref[rr, c + 0]
-            ny_ = leaf_ref[rr, c + 1]
-            nz_ = leaf_ref[rr, c + 2]
-            e1x = leaf_ref[rr, c + 3]
-            e1y = leaf_ref[rr, c + 4]
-            e1z = leaf_ref[rr, c + 5]
-            e2x = leaf_ref[rr, c + 6]
-            e2y = leaf_ref[rr, c + 7]
-            e2z = leaf_ref[rr, c + 8]
-            p1x = leaf_ref[rr, c + 9]
-            p1y = leaf_ref[rr, c + 10]
-            p1z = leaf_ref[rr, c + 11]
-            p2x = leaf_ref[rr, c + 12]
-            p2y = leaf_ref[rr, c + 13]
-            p2z = leaf_ref[rr, c + 14]
-            c0 = leaf_ref[rr, c + 15]
-            det = -(dx * nx_ + dy * ny_ + dz * nz_)
-            tp = ox * nx_ + oy * ny_ + oz * nz_ - c0
-            up = (gx * e2x + gy * e2y + gz * e2z
-                  + dx * p2x + dy * p2y + dz * p2z)
-            vp = -(gx * e1x + gy * e1y + gz * e1z
-                   + dx * p1x + dy * p1y + dz * p1z)
-            sgn = jnp.where(det < 0.0, -1.0, 1.0)
-            ad = det * sgn
-            su = up * sgn
-            sv = vp * sgn
-            st = tp * sgn
-            hit = (m & (ad >= DET_EPS) & (su >= 0.0) & (sv >= 0.0)
-                   & (su + sv <= ad) & (st > 0.0) & (st < t_b * ad))
-            if any_hit:
-                t_b = jnp.where(hit, -1.0, t_b)
-                tri_b = jnp.where(hit, base + k, tri_b).astype(jnp.int32)
-            else:
-                r = 1.0 / jnp.where(hit, ad, 1.0)
-                t_b = jnp.where(hit, st * r, t_b)
-                tri_b = jnp.where(hit, base + k, tri_b).astype(jnp.int32)
-                u_b = jnp.where(hit, su * r, u_b)
-                v_b = jnp.where(hit, sv * r, v_b)
-        return t_b, tri_b, u_b, v_b
-
-    def visit(sp, have, code, te, t_b, tri_b, u_b, v_b):
-        """One stack-entry visit; an idle slot (nothing held, empty
-        stack) passes through with all masks false."""
-        do_pop = jnp.logical_not(have) & (sp > 0)
-        slot = jnp.maximum(sp - 1, 0)
-        code = jnp.where(do_pop, nstack_ref[slot], code)
-        te_mem = tstack_ref[pl.ds(slot * ray_sub, ray_sub), :]
-        te = jnp.where(do_pop, te_mem, te)
-        sp = jnp.where(do_pop, slot, sp)
-        active = have | do_pop
-
-        m = (te < t_b) & active
-        m_any = jnp.any(m) if any_hit else active
-        is_leaf = code < 0
-
-        leaf_row = jnp.maximum((-code) - 1, 0)
-        t_b, tri_b, u_b, v_b = jax.lax.cond(
-            is_leaf & m_any,
-            lambda args: leaf_test(leaf_row, m, *args),
-            lambda args: args,
-            (t_b, tri_b, u_b, v_b))
-
-        safe = jnp.maximum(code, 0)
-
-        def live_inner(_):
-            tel, ter = slab(safe, t_b, m & jnp.logical_not(is_leaf))
-            return (tel, ter,
-                    nodes_ref[safe, 12].astype(jnp.int32),
-                    nodes_ref[safe, 13].astype(jnp.int32),
-                    nodes_ref[safe, 14].astype(jnp.int32))
-
-        def pruned(_):
-            inf = jnp.full(blk, INF, jnp.float32)
-            z = jnp.int32(0)
-            return inf, inf, z, z, z
-
-        if any_hit:
-            tel, ter, lcode, rcode, ab = jax.lax.cond(
-                m_any & jnp.logical_not(is_leaf), live_inner, pruned, 0)
-        else:
-            tel, ter, lcode, rcode, ab = live_inner(0)
-        axis = ab & 3
-        l_low = (ab & 4) > 0
-        d_pos = jax.lax.select(axis == 0, sdx,
-                               jax.lax.select(axis == 1, sdy, sdz))
-        left_near = d_pos == l_low
-
-        code_f = jnp.where(left_near, lcode, rcode)
-        code_s = jnp.where(left_near, rcode, lcode)
-        te_f = jnp.where(left_near, tel, ter)
-        te_s = jnp.where(left_near, ter, tel)
-        any_f = jnp.min(te_f) < INF
-        any_s = jnp.min(te_s) < INF
-
-        @pl.when(any_f & any_s)
-        def _():
-            nstack_ref[sp] = code_s
-            tstack_ref[pl.ds(sp * ray_sub, ray_sub), :] = te_s
-
-        sp = sp + (any_f & any_s).astype(jnp.int32)
-        have = any_f | any_s
-        code = jnp.where(any_f, code_f, code_s)
-        te = jnp.where(any_f, te_f, te_s)
-        return sp, have, code, te, t_b, tri_b, u_b, v_b
-
-    def body(state):
-        (it, sp, hA, cA, teA, hB, cB, teB,
-         t_b, tri_b, u_b, v_b) = state
-        sp, hA, cA, teA, t_b, tri_b, u_b, v_b = visit(
-            sp, hA, cA, teA, t_b, tri_b, u_b, v_b)
-        sp, hB, cB, teB, t_b, tri_b, u_b, v_b = visit(
-            sp, hB, cB, teB, t_b, tri_b, u_b, v_b)
-        if any_hit:
-            done = jnp.max(t_b) < 0.0
-            hA = hA & jnp.logical_not(done)
-            hB = hB & jnp.logical_not(done)
-            sp = jnp.where(done, 0, sp)
-        return (it + 1, sp, hA, cA, teA, hB, cB, teB,
-                t_b, tri_b, u_b, v_b)
-
-    def cond(state):
-        it, sp, hA, _, _, hB, *_ = state
-        return (hA | hB | (sp > 0)) & (it < jnp.int32(max_iters))
-
-    zero_te = jnp.zeros(blk, jnp.float32)
-    init = (jnp.int32(0), jnp.int32(0),
-            jnp.bool_(True), jnp.int32(init_code), zero_te,
-            jnp.bool_(False), jnp.int32(0), zero_te,
-            t0_ref[...],
-            jnp.full(blk, -1, jnp.int32),
-            jnp.zeros(blk, jnp.float32),
-            jnp.zeros(blk, jnp.float32))
-    out = jax.lax.while_loop(cond, body, init)
-    t_b, tri_b, u_b, v_b = out[-4:]
     t_ref[...] = t_b
     tri_ref[...] = tri_b
     u_ref[...] = u_b
@@ -712,10 +500,11 @@ def _kernel_wide(nodes_ref, leaf_ref,
                  t_ref, tri_ref, u_ref, v_ref,
                  tstack_ref, nstack_ref,
                  *, init_code: int, max_iters: int, any_hit: bool,
-                 ray_sub: int):
+                 ray_sub: int, leaf16: bool = False):
     """4-wide variant of _kernel: one visit = up to 4 child slab tests,
     far children pushed in sorted order so the nearest live child is
-    followed immediately."""
+    followed immediately.  (leaf16 ignored: wide tables always pack raw
+    9-float leaves.)"""
     blk = (ray_sub, RAY_LANE)
     ox = ox_ref[...]
     oy = oy_ref[...]
@@ -958,15 +747,20 @@ def _init_code(bvh: BVH) -> int:
 def traverse_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
                     any_hit: bool = False, interpret: bool = False,
                     ray_sub: int = RAY_SUB, wide: bool = None,
-                    dual: bool = None) -> Hit:
+                    leaf16: bool = None) -> Hit:
     """Packet traversal over the whole ray batch (grid over ray blocks).
 
     t_init seeds the per-ray search radius: +BIG_T for closest-hit, the
     segment length for any-hit (occluded iff a triangle id is recorded).
     `wide` forces the 4-wide kernel (default: only for trees too deep
-    for the binary stack — measured slower otherwise).  `dual` uses the
-    two-visits-per-iteration binary kernel (default on: visits are
-    latency-bound, docs/PROFILE_bathroom_r4.md).
+    for the binary stack — measured slower otherwise).  `leaf16` picks
+    the constant-form leaf table (2 rows/leaf; default for any-hit,
+    where it measured -4%) vs the raw 9-float form (1 row/leaf; default
+    for closest-hit, +3% the other way) — callers can force raw when
+    the constant-form tables would exceed VMEM.  (A dual-visit ILP
+    variant was tried and measured worse — the shared t_best serializes
+    the two visits' chains; experiment record in
+    docs/PROFILE_bathroom_r4.md, code removed in r5.)
     """
     n = o.x.shape[0]
     ray_block = ray_sub * RAY_LANE
@@ -977,17 +771,13 @@ def traverse_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
         # so wide serves only trees too deep for the binary stack
         # (wide depth is half the binary depth).
         wide = bvh.depth > MAX_STACK and wide_ok(bvh)
-    if dual is None:
-        # Measured WORSE on real bounce rays (bounce 924 ms vs 874,
-        # closest 432 vs 408 — the shared t_best serializes the two
-        # visits' chains); kept for future experiments.
-        dual = False
+    if leaf16 is None:
+        leaf16 = any_hit
     if wide:
+        leaf16 = False
         nodes, leaves = pack_tables_wide(bvh, tris)
     else:
-        # dual always reads constant-form rows; the single-visit kernel
-        # picks the measured-best form per query type
-        nodes, leaves = pack_tables(bvh, tris, leaf16=any_hit or dual)
+        nodes, leaves = pack_tables(bvh, tris, leaf16=leaf16)
     init_code = _init_code(bvh)
     n_nodes = bvh.right.shape[0]
     pad = (-n) % ray_block
@@ -1007,12 +797,11 @@ def traverse_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, t_init,
 
     n_blocks = n_pad // ray_block
     grid_rows = n_pad // RAY_LANE
-    fn = _kernel_wide if wide else (_kernel_dual if dual else _kernel)
+    fn = _kernel_wide if wide else _kernel
     kernel = functools.partial(
         fn, init_code=init_code, max_iters=4 * n_nodes + 64,
-        any_hit=any_hit, ray_sub=ray_sub)
-    # dual runs two concurrent DFS walks -> twice the stack bound
-    stack_n = 2 * MAX_STACK if (dual and not wide) else MAX_STACK
+        any_hit=any_hit, ray_sub=ray_sub, leaf16=leaf16)
+    stack_n = MAX_STACK
     blk = pl.BlockSpec((ray_sub, RAY_LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     tab = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole-table, resident
@@ -1061,12 +850,17 @@ def any_hit_packet(bvh: BVH, tris: Triangles, o: V3, d: V3, max_t,
     return h.tri >= 0
 
 
-def table_bytes(bvh: BVH, tris: Triangles) -> int:
+def table_bytes(bvh: BVH, tris: Triangles, leaf16: bool = False) -> int:
     """VMEM footprint of the resident tables (every row is padded to 128
-    lanes = 512 B by Mosaic; guard for the dispatch).  Constant-form
-    leaves use two rows per leaf (pack_leaves16)."""
+    lanes = 512 B by Mosaic; guard for the dispatch).  Query-dependent:
+    closest-hit packs raw (L, 128) leaves (I + L rows total); any-hit's
+    constant-form leaves (pack_leaves16) use two rows per leaf
+    (I + 2L).  Charging 2L unconditionally rejected scenes up to ~2x
+    smaller than the closest-hit kernel actually fits (advisor r4)."""
     b = bvh.right.shape[0]
-    return (b + (b + 1)) * 512  # I + 2L rows
+    n_int, n_leaf = (b - 1) // 2, (b + 1) // 2
+    leaf_rows = 2 * n_leaf if leaf16 else n_leaf
+    return (n_int + leaf_rows) * 512
 
 
 def wide_ok(bvh: BVH) -> bool:

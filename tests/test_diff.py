@@ -241,6 +241,44 @@ class TestRefit:
             np.minimum(np.asarray(hb.t), 1e30),
             np.minimum(np.asarray(ho.t), 1e30), rtol=1e-4)
 
+    def test_refit_alternating_topologies(self):
+        """Alternating refits across two DIFFERENT tree topologies must
+        each produce correct bounds (the r4 id()-keyed levels cache
+        could alias a freed array's address to the wrong topology)."""
+        from raytracingrenderer_tpu.geometry.bvh import build
+        from raytracingrenderer_tpu.geometry.refit import refit_bvh
+        from raytracingrenderer_tpu.core.vec import V3
+
+        def soup(n, seed):
+            r = np.random.default_rng(seed)
+            p0 = r.uniform(-1, 1, (n, 3)).astype(np.float32)
+            e = r.uniform(0.05, 0.2, (n, 2, 3)).astype(np.float32)
+            return np.stack([p0, p0 + e[:, 0], p0 + e[:, 1]], axis=1)
+
+        def mini_tris(tp):
+            v3 = lambda a: V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
+                              jnp.asarray(a[:, 2]))
+
+            class T:  # just what refit_bvh reads
+                p0 = v3(tp[:, 0])
+                e1 = v3(tp[:, 1] - tp[:, 0])
+                e2 = v3(tp[:, 2] - tp[:, 0])
+            return T
+
+        for trial in range(3):  # interleave -> exercise cache reuse
+            for n, seed in ((97, 1), (251, 2)):
+                tp = soup(n, seed)
+                bvh, order = build(tp)
+                tp = tp[order] + (0.1 * trial)
+                ref, _ = build(tp)     # fresh build = ground truth root
+                got = refit_bvh(bvh, mini_tris(tp))
+                np.testing.assert_allclose(np.asarray(got.lo[0]),
+                                           np.asarray(ref.lo[0]),
+                                           atol=1e-5)
+                np.testing.assert_allclose(np.asarray(got.hi[0]),
+                                           np.asarray(ref.hi[0]),
+                                           atol=1e-5)
+
     def test_light_translation_optimizes_with_refit(self, scene):
         """Multi-step geometry optimization (the VERDICT-r3 staleness
         footgun): translate the area light, recover its position by SGD

@@ -150,6 +150,36 @@ class TestIntegrators:
         sc, l1 = wavefront_diff.train_step(sc, target, key, cfg, lr=0.5)
         assert float(l1) < float(l0)
 
+    def test_train_step_autodispatch_matches(self, scene):
+        """diff.train_step routes BVH-scale scenes to the wavefront
+        backward (r4 weak #5: the benchmark path and the user API must
+        be the same code); forced via cfg.wavefront here, the two
+        routes must produce the same step."""
+        import jax.numpy as jnp
+        from raytracingrenderer_tpu.diff import train_step
+        from raytracingrenderer_tpu.integrators import wavefront_diff
+        from raytracingrenderer_tpu.render import _use_wavefront
+        key = jax.random.PRNGKey(11)
+        target = jnp.zeros((RES, RES, 3), jnp.float32)
+        cfg_wf = RenderConfig(mis=True, jitter=True, max_depth=2,
+                              wavefront=True)
+        assert _use_wavefront(scene, cfg_wf)
+        sc_a, l_a = train_step(scene, target, key, cfg_wf, lr=0.5)
+        sc_b, l_b = wavefront_diff.train_step(scene, target, key, cfg_wf,
+                                              lr=0.5)
+        assert float(l_a) == pytest.approx(float(l_b), rel=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sc_a.materials.albedo.x),
+            np.asarray(sc_b.materials.albedo.x), rtol=1e-6)
+        # scan route (wavefront=False) agrees to float tolerance
+        cfg_sc = RenderConfig(mis=True, jitter=True, max_depth=2,
+                              wavefront=False)
+        sc_c, l_c = train_step(scene, target, key, cfg_sc, lr=0.5)
+        assert float(l_a) == pytest.approx(float(l_c), rel=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sc_a.materials.albedo.x),
+            np.asarray(sc_c.materials.albedo.x), rtol=1e-3, atol=1e-6)
+
     def test_wavefront_render_path(self, scene, path_img):
         cfg = RenderConfig(mis=True, jitter=True, max_depth=3,
                            wavefront=True)
