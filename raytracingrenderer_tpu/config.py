@@ -56,6 +56,15 @@ class RenderConfig:
     # renders shouldn't pay the extra per-hit vertex gathers; diff.py
     # turns it on for its parameter surface.
     geom_grads: bool = False
+    # Silhouette/visibility boundary gradients for the NEE term
+    # (integrators/boundary.py): edge-sampling estimator injected as a
+    # zero-primal term, so forward images are bit-unchanged while
+    # jax.grad sees the edge integral the detached estimator misses
+    # (the r4-measured 253% shadow-edge bias).  Costs
+    # 2*boundary_samples extra shadow batches per bounce; off by
+    # default.  Meaningful only together with geom_grads.
+    boundary_grads: bool = False
+    boundary_samples: int = 4
     # Wavefront mode (integrators/wavefront.py): host-level bounce loop
     # with live-ray compaction.  None = auto (on for BVH-scale scenes in
     # plain forward renders; the differentiable/sharded/adaptive paths

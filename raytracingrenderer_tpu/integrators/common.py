@@ -37,13 +37,13 @@ class Shading(NamedTuple):
 
 
 def pack_attrs(tris, m) -> jax.Array:
-    """(T, 38) per-triangle attribute matrix: shading normals, geometric
+    """(T, 44) per-triangle attribute matrix: shading normals, geometric
     normal, uvs, light id, and the triangle's material row pre-joined.
 
-    One packed row fetch per hit replaces ~25 separate small gathers —
+    One packed row fetch per hit replaces ~30 separate small gathers —
     see ops/gather.py for why that matters on TPU.  Built from the SoA
     each trace; it is loop-invariant so XLA hoists it out of the bounce
-    scan, and at (T, 38) f32 it is small besides.  Scene-sharded mode
+    scan, and at (T, 44) f32 it is small besides.  Scene-sharded mode
     precomputes this at load and shards it over the mesh
     (parallel/scene_shard.py), which is why it is a free function of
     (triangles, materials) rather than of the scene.
@@ -54,8 +54,10 @@ def pack_attrs(tris, m) -> jax.Array:
         f32(m.albedo_tex), m.emission.x, m.emission.y, m.emission.z,
         f32(m.is_emissive), m.eta.x, m.eta.y, m.eta.z,
         m.k.x, m.k.y, m.k.z, m.int_ior, m.ext_ior, m.alpha, m.sigma,
-    ], axis=-1)                       # (M, 19)
-    per_tri_mat = mat_rows[tris.mat_id]   # (T, 19)
+        m.coat_thickness, m.coat_sigma_a.x, m.coat_sigma_a.y,
+        m.coat_sigma_a.z, m.coat_int_ior, m.coat_ext_ior,
+    ], axis=-1)                       # (M, 25)
+    per_tri_mat = mat_rows[tris.mat_id]   # (T, 25)
     tri_rows = jnp.stack([
         tris.n0.x, tris.n0.y, tris.n0.z,
         tris.n1.x, tris.n1.y, tris.n1.z,
@@ -113,7 +115,7 @@ def shading_data(scene: Scene, hit: Hit, o: V3, d: V3,
         rows = gather_attrs_sharded(scene.bvh, tri)
     else:
         rows = gather_rows(pack_attrs(scene.triangles, scene.materials),
-                           tri)                     # (N, 38)
+                           tri)                     # (N, 44)
     col = lambda i: rows[:, i]
     v3 = lambda i: V3(rows[:, i], rows[:, i + 1], rows[:, i + 2])
     n = (v3(0) * alpha + v3(3) * beta + v3(6) * gamma).normalize()
@@ -145,7 +147,11 @@ def shading_data(scene: Scene, hit: Hit, o: V3, d: V3,
         alpha=jnp.maximum(col(b + 17), bsdf_mod.MIN_ALPHA),
         sigma=col(b + 18),
         emission=v3(b + 5),
-        is_emissive=col(b + 8) > 0.5)
+        is_emissive=col(b + 8) > 0.5,
+        coat_thickness=col(b + 19),
+        coat_sigma_a=v3(b + 20),
+        coat_int_ior=col(b + 23),
+        coat_ext_ior=col(b + 24))
     two = bsdf_mod.is_two_sided(mp.mtype)
     flip_s = two & (wo.dot(n) < 0.0)
     flip_g = two & (wo.dot(gn) < 0.0)

@@ -155,6 +155,14 @@ def bounce_step(scene: Scene, state: dict, depth, key: jax.Array,
         return_occ=True, power=cfg.power_lights)
     if not cfg.debug_no_nee:
         radiance = radiance + beta * direct
+    if cfg.boundary_grads and scene.num_lights:
+        # Zero-primal NEE visibility boundary term (edge sampling):
+        # forward value is exactly 0 (images bit-unchanged); jax.grad
+        # sees the silhouette edge integral the detached estimator
+        # misses (integrators/boundary.py).
+        from .boundary import boundary_direct
+        bnd = boundary_direct(scene, sh, shade, key, depth, ids, cfg)
+        radiance = radiance + beta * bnd
 
     # ---- depth cutoff / RR / BSDF continuation -------------------------
     cont = shade & (depth <= cfg.max_depth)

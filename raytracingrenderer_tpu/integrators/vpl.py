@@ -63,7 +63,9 @@ def _dummy_mp(n: int) -> bsdf_mod.MatParams:
     return bsdf_mod.MatParams(
         mtype=jnp.zeros(n, jnp.int32), albedo=V3.zeros(n), eta=V3.zeros(n),
         k=V3.zeros(n), int_ior=z, ext_ior=z, alpha=z, sigma=z,
-        emission=V3.zeros(n), is_emissive=jnp.zeros(n, bool))
+        emission=V3.zeros(n), is_emissive=jnp.zeros(n, bool),
+        coat_thickness=z, coat_sigma_a=V3.zeros(n), coat_int_ior=z,
+        coat_ext_ior=z)
 
 
 def trace_vpls(scene: Scene, key, cfg: RenderConfig,

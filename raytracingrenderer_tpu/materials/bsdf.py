@@ -40,6 +40,18 @@ from . import fresnel
 INV_PI = 1.0 / jnp.pi
 MIN_ALPHA = 1e-3
 
+# Static sentinel appended to cfg.mat_types by render.specialize_config
+# when any material carries a coat (coat_thickness > 0), so the coat
+# lobe compiles only for scenes that use it (same devirtualization
+# trick as the MAT_* gating in _has).
+COAT = 99
+
+# The reference's LayeredBSDF stores a SMOOTH coating (no coat
+# roughness parameter, Materials.h:467-476); a near-smooth GGX lobe
+# keeps the highlight visually sharp while giving NEE/MIS a finite pdf
+# (a true delta coat would need per-lane specular-flag plumbing).
+COAT_ALPHA = 0.01
+
 
 class MatParams(NamedTuple):
     """Per-lane gathered material parameters."""
@@ -53,6 +65,11 @@ class MatParams(NamedTuple):
     sigma: jax.Array
     emission: V3
     is_emissive: jax.Array
+    # layered coating (0 thickness = uncoated); see _coat_terms
+    coat_thickness: jax.Array = None
+    coat_sigma_a: V3 = None
+    coat_int_ior: jax.Array = None
+    coat_ext_ior: jax.Array = None
 
 
 def gather_params(materials: MaterialTable, textures: TextureAtlas,
@@ -74,7 +91,11 @@ def gather_params(materials: MaterialTable, textures: TextureAtlas,
         alpha=jnp.maximum(materials.alpha[mat_id], MIN_ALPHA),
         sigma=materials.sigma[mat_id],
         emission=materials.emission.gather(mat_id),
-        is_emissive=materials.is_emissive[mat_id])
+        is_emissive=materials.is_emissive[mat_id],
+        coat_thickness=materials.coat_thickness[mat_id],
+        coat_sigma_a=materials.coat_sigma_a.gather(mat_id),
+        coat_int_ior=materials.coat_int_ior[mat_id],
+        coat_ext_ior=materials.coat_ext_ior[mat_id])
 
 
 def is_specular(mtype: jax.Array) -> jax.Array:
@@ -144,6 +165,53 @@ def _plastic_fresnel(mp: MatParams, cos_x) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# layered coating (reference LayeredBSDF, Materials.h:467-511)
+#
+# The reference STORES sigma_a/thickness/IORs and passes every call
+# through to the base; the intent — a smooth dielectric coat over an
+# arbitrary base lobe — is implemented here in the Smits/Weidlich-Wilkie
+# single-scattering approximation:
+#
+#   f = f_coat(Fresnel-weighted near-smooth GGX)
+#       + T(wo) * T(wi) * A(wo,wi) * f_base
+#
+# with T(w) = 1 - Fr_coat(|w.z|) the coat-interface transmittance and
+# A = exp(-sigma_a * thickness * (1/|wo.z| + 1/|wi.z|)) Beer-Lambert
+# absorption along both coat crossings.  Refraction bending inside the
+# coat is ignored (standard in this approximation), and the coat is
+# applied only over non-delta bases (coated mirror/glass keep the
+# reference's pass-through semantics).  Energy-conserving by
+# construction: Fc + T_o*T_i*A <= 1 per direction pair.
+
+def _coat_applies(mp: MatParams) -> jax.Array:
+    return ((mp.coat_thickness > 0.0) & ~is_specular(mp.mtype))
+
+
+def _coat_fresnel(mp: MatParams, cos_x) -> jax.Array:
+    r, _ = fresnel.fresnel_dielectric(jnp.abs(cos_x), mp.coat_ext_ior,
+                                      mp.coat_int_ior)
+    return r
+
+
+def _coat_absorb(mp: MatParams, wo: V3, wi: V3) -> V3:
+    path = mp.coat_thickness * (1.0 / jnp.maximum(jnp.abs(wo.z), 1e-4)
+                                + 1.0 / jnp.maximum(jnp.abs(wi.z), 1e-4))
+    return V3(jnp.exp(-mp.coat_sigma_a.x * path),
+              jnp.exp(-mp.coat_sigma_a.y * path),
+              jnp.exp(-mp.coat_sigma_a.z * path))
+
+
+def _coat_layer_eval(mp: MatParams, wo: V3, wi: V3, f_base: V3) -> V3:
+    h = (wo + wi).normalize()
+    fc_h = _coat_fresnel(mp, wo.dot(h))
+    f_coat, _ = _ggx_reflect_eval(COAT_ALPHA, V3.of(1.0, 1.0, 1.0) * fc_h,
+                                  wo, wi)
+    t_o = 1.0 - _coat_fresnel(mp, wo.z)
+    t_i = 1.0 - _coat_fresnel(mp, wi.z)
+    return f_coat + f_base * _coat_absorb(mp, wo, wi) * (t_o * t_i)
+
+
+# ---------------------------------------------------------------------------
 # evaluate / pdf (non-delta lobes; used by NEE + MIS)
 
 def _has(types, *ms) -> bool:
@@ -187,6 +255,9 @@ def evaluate(mp: MatParams, wo: V3, wi: V3, types=None) -> V3:
     if _has(types, MAT_DIELECTRIC):
         f_diel = _dielectric_eval_pdf(mp, wo, wi)[0]
         out = vwhere(mp.mtype == MAT_DIELECTRIC, f_diel, out)
+    if _has(types, COAT) and mp.coat_thickness is not None:
+        out = vwhere(_coat_applies(mp), _coat_layer_eval(mp, wo, wi, out),
+                     out)
     return out  # mirror/glass stay zero (delta)
 
 
@@ -207,6 +278,13 @@ def pdf_fn(mp: MatParams, wo: V3, wi: V3, types=None) -> jax.Array:
     if _has(types, MAT_DIELECTRIC):
         pdf_diel = _dielectric_eval_pdf(mp, wo, wi)[1]
         out = jnp.where(mp.mtype == MAT_DIELECTRIC, pdf_diel, out)
+    if _has(types, COAT) and mp.coat_thickness is not None:
+        # mixture pdf matching sample(): coat lobe with prob Fc(wo)
+        fc_o = _coat_fresnel(mp, wo.z)
+        _, pdf_coat = _ggx_reflect_eval(COAT_ALPHA, V3.of(1.0, 1.0, 1.0),
+                                        wo, wi)
+        out = jnp.where(_coat_applies(mp),
+                        fc_o * pdf_coat + (1.0 - fc_o) * out, out)
     return out
 
 
@@ -271,6 +349,19 @@ def sample(mp: MatParams, wo: V3, r1: jax.Array, r2: jax.Array,
     """
     mt = mp.mtype
 
+    # -- layered coat lobe select (before base lobes consume rl) -------
+    coat_on = (_has(types, COAT) and mp.coat_thickness is not None)
+    if coat_on:
+        coated = _coat_applies(mp)
+        fc_o = _coat_fresnel(mp, wo.z)
+        pick_coat = coated & (rl < fc_o)
+        # renormalize rl for the base's own lobe selects so the coat
+        # pick doesn't bias them
+        rl = jnp.where(coated,
+                       jnp.clip((rl - fc_o)
+                                / jnp.maximum(1.0 - fc_o, 1e-6),
+                                0.0, 1.0 - 1e-7), rl)
+
     # -- cosine lobe (diffuse / oren-nayar / plastic-diffuse) ----------
     wi_cos = warps.cosine_hemisphere(r1, r2)
     wi = wi_cos
@@ -327,6 +418,12 @@ def sample(mp: MatParams, wo: V3, r1: jax.Array, r2: jax.Array,
         plastic_spec = rl < fr_o
         wi_plastic = vwhere(plastic_spec, wi_ggx, wi_cos)
         wi = vwhere(mt == MAT_PLASTIC, wi_plastic, wi)
+
+    # -- layered coat reflection override ------------------------------
+    if coat_on:
+        h_coat = warps.ggx_sample_half(r1, r2,
+                                       jnp.full_like(wo.z, COAT_ALPHA))
+        wi = vwhere(pick_coat, _reflect_about(wo, h_coat), wi)
 
     # ---- per-type (colour, pdf, valid) -------------------------------
     f_eval = evaluate(mp, wo, wi, types)  # correct for all non-delta

@@ -47,6 +47,11 @@ def specialize_config(cfg: RenderConfig, scene: Scene) -> RenderConfig:
     import dataclasses
     types = tuple(sorted(set(
         np.asarray(scene.materials.mtype).tolist())))
+    # layered-coat sentinel: the coat lobe (materials/bsdf.py COAT)
+    # compiles only when some material actually carries a coating
+    if bool(np.asarray(scene.materials.coat_thickness).max() > 0.0):
+        from .materials.bsdf import COAT
+        types = types + (COAT,)
     return dataclasses.replace(cfg, mat_types=types)
 
 

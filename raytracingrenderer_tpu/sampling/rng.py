@@ -26,6 +26,13 @@ BSDF_LOBE = 8
 LENS_U = 9
 LENS_V = 10
 LIGHT_AUX = 11   # alias-table accept test + in-texel u offset
+# Boundary-term edge sampling (integrators/boundary.py); per-sample
+# streams are decorrelated by folding the sample index into the key,
+# so three decision ids cover any boundary_samples count.
+BND_PICK = 12
+BND_EDGE = 13
+BND_T = 14
+BND_CELL = 15   # guided-cell pick + mixture branch (one uniform)
 _NUM_DECISIONS = 16
 
 

@@ -23,7 +23,9 @@ N = 60_000
 
 def make_params(mtype, n=N, albedo=(1.0, 1.0, 1.0), alpha=0.3,
                 int_ior=1.5, ext_ior=1.0, sigma=0.5,
-                eta=(0.2, 0.9, 1.4), k=(3.4, 2.5, 1.9)):
+                eta=(0.2, 0.9, 1.4), k=(3.4, 2.5, 1.9),
+                coat_thickness=0.0, coat_sigma_a=(0.0, 0.0, 0.0),
+                coat_int_ior=1.5, coat_ext_ior=1.0):
     f = lambda v: jnp.full(n, v, jnp.float32)  # noqa: E731
     return bsdf.MatParams(
         mtype=jnp.full(n, mtype, jnp.int32),
@@ -32,7 +34,11 @@ def make_params(mtype, n=N, albedo=(1.0, 1.0, 1.0), alpha=0.3,
         k=V3(f(k[0]), f(k[1]), f(k[2])),
         int_ior=f(int_ior), ext_ior=f(ext_ior),
         alpha=f(alpha), sigma=f(sigma),
-        emission=V3.zeros(n), is_emissive=jnp.zeros(n, bool))
+        emission=V3.zeros(n), is_emissive=jnp.zeros(n, bool),
+        coat_thickness=f(coat_thickness),
+        coat_sigma_a=V3(f(coat_sigma_a[0]), f(coat_sigma_a[1]),
+                        f(coat_sigma_a[2])),
+        coat_int_ior=f(coat_int_ior), coat_ext_ior=f(coat_ext_ior))
 
 
 def fixed_wo(n=N, z=0.6):
@@ -96,6 +102,72 @@ class TestFurnace:
         for alpha in (0.05, 0.3):
             r = furnace_reflectance(MAT_DIELECTRIC, alpha=alpha)
             assert 0.7 < r <= 1.05, (alpha, r)
+
+
+class TestLayeredCoat:
+    """Real layered coating (r4 weak #7): the reference only STORES
+    sigma_a/thickness/IORs (Materials.h:467-511); materials/bsdf.py
+    implements the intended smooth coat in the Smits single-scattering
+    approximation.  Energy conservation + limiting-case checks."""
+
+    def test_zero_thickness_is_passthrough(self):
+        mp0 = make_params(MAT_DIFFUSE)
+        mpc = make_params(MAT_DIFFUSE, coat_thickness=0.0)
+        wo = fixed_wo()
+        r1, r2, rl = rand3(3)
+        a = bsdf.sample(mp0, wo, r1, r2, rl)
+        b = bsdf.sample(mpc, wo, r1, r2, rl)
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_coat_ior1_equals_base(self):
+        """coat with IOR ratio 1: Fresnel 0 -> exactly the base lobe."""
+        r0 = furnace_reflectance(MAT_DIFFUSE)
+        r1_ = furnace_reflectance(MAT_DIFFUSE, coat_thickness=0.5,
+                                  coat_int_ior=1.0, coat_ext_ior=1.0)
+        assert r1_ == pytest.approx(r0, abs=0.01)
+
+    def test_clear_coat_energy(self):
+        """white furnace: clear coat (sigma_a=0) over diffuse loses only
+        the coat's Fresnel-and-GGX single-scatter deficit."""
+        r = furnace_reflectance(MAT_DIFFUSE, coat_thickness=0.5)
+        assert 0.85 < r <= 1.02, r
+
+    def test_absorbing_coat_darkens(self):
+        r_clear = furnace_reflectance(MAT_DIFFUSE, coat_thickness=0.5)
+        r_dark = furnace_reflectance(MAT_DIFFUSE, coat_thickness=0.5,
+                                     coat_sigma_a=(8.0, 8.0, 8.0))
+        # heavy absorption: only the coat's own Fresnel lobe survives
+        assert r_dark < 0.25 < r_clear, (r_dark, r_clear)
+
+    def test_absorption_is_tinted(self):
+        """sigma_a in one channel only -> that channel darkest."""
+        mp = make_params(MAT_DIFFUSE, n=1000, coat_thickness=0.5,
+                         coat_sigma_a=(2.0, 0.0, 0.0))
+        wo = fixed_wo(1000)
+        r1, r2, rl = rand3(5, 1000)
+        wi, colour, pdf, ok = bsdf.sample(mp, wo, r1, r2, rl)
+        w = colour * (jnp.abs(wi.z) / jnp.maximum(pdf, 1e-9))
+        w = w.where(ok, V3.zeros(1000))
+        assert float(w.x.mean()) < float(w.y.mean()) * 0.7
+        assert float(w.y.mean()) == pytest.approx(float(w.z.mean()),
+                                                  rel=0.05)
+
+    def test_coated_pdf_consistency(self):
+        """sample() and pdf_fn() must stay one distribution with the
+        coat's mixture lobe in play."""
+        mp = make_params(MAT_DIFFUSE, coat_thickness=0.5)
+        wo = fixed_wo()
+        r1, r2, rl = rand3(7)
+        wi, _, _, ok = bsdf.sample(mp, wo, r1, r2, rl)
+        est_a = float(jnp.where(ok, wi.z ** 2, 0.0).mean())
+        u1, u2, _ = rand3(8)
+        wu = warps.uniform_sphere(u1, u2)
+        pdf = bsdf.pdf_fn(mp, wo, wu)
+        est_b = float(jnp.mean(wu.z ** 2 * pdf
+                               / warps.uniform_sphere_pdf(wu)))
+        assert est_a == pytest.approx(est_b, abs=0.02), (est_a, est_b)
 
 
 class TestPdfConsistency:
