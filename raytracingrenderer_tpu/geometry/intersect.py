@@ -388,7 +388,18 @@ def closest_hit(scene, o: V3, d: V3, active=None,
         h = traverse_sharded(scene.bvh, o, d, t_init)
         return jax.tree_util.tree_map(jax.lax.stop_gradient, h)
     if scene.bvh is not None and scene.triangles.count > 64:
-        if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
+        from ..ops import treelet
+        if mt_kernel.use_pallas() and treelet.has_treelets(scene.bvh):
+            # Ray-major MXU pair-testing path (ops/treelet.py): per-ray
+            # candidate treelets bounded by a proxy-hit radius, tested
+            # as (1024,16)x(16,128) MXU tiles.  The proxy pre-pass
+            # that measured flat as a PACKET seed is load-bearing
+            # here: it is the candidate-set pruning radius.
+            pre = _proxy_prepass(tris, o, d, t_init)
+            h = treelet.closest_hit_treelet(scene.bvh, tris, o, d,
+                                            jnp.minimum(pre.t, t_init))
+            h = h._replace(t=jnp.where(h.tri >= 0, h.t, BIG_T))
+        elif mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
             # (No proxy pre-pass here: seeding closest-hit with a
             # top-128-triangle t bound measured +5% — near-first
             # ordered traversal self-bounds within its first visits,
@@ -492,6 +503,13 @@ def occluded(scene, o: V3, d: V3, max_t: jax.Array,
         return tag(traverse_sharded(scene.bvh, o, d, max_t,
                                     any_hit=True).tri >= 0)
     if scene.bvh is not None and scene.triangles.count > 64:
+        from ..ops import treelet
+        if mt_kernel.use_pallas() and treelet.has_treelets(scene.bvh):
+            # ray-major MXU pair-testing path (see closest_hit)
+            pre_occ = _proxy_prepass(tris, o, d, max_t).tri >= 0
+            rem_t = jnp.where(pre_occ, -1.0, max_t)
+            occ = treelet.any_hit_treelet(scene.bvh, tris, o, d, rem_t)
+            return tag(occ | pre_occ)
         if mt_kernel.use_pallas() and _packet_fits(scene.bvh, tris):
             # constant-form leaves (2 rows/leaf) are the measured-best
             # any-hit form, but cost ~1.5x the raw tables: degrade to

@@ -120,7 +120,10 @@ def refit_bvh(bvh: BVH, tris) -> BVH:
     return BVH(jnp.asarray(lo), jnp.asarray(hi), bvh.right, bvh.start,
                bvh.count, bvh.skip, leaf_max=bvh.leaf_max,
                depth=bvh.depth, wsel=bvh.wsel, wcode=bvh.wcode,
-               waxis=bvh.waxis)
+               waxis=bvh.waxis, tl_nodes=bvh.tl_nodes,
+               tl_start=bvh.tl_start, tl_count=bvh.tl_count,
+               tc_nodes=bvh.tc_nodes, tc_start=bvh.tc_start,
+               tc_count=bvh.tc_count)
 
 
 def refit(scene: Scene) -> Scene:

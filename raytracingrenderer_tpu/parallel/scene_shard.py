@@ -66,7 +66,7 @@ class ShardedBVH:
         self.p0 = p0          # V3 of (D, S)
         self.e1 = e1
         self.e2 = e2
-        # (D, S, 38) packed shading-attribute rows
+        # (D, S, 44) packed shading-attribute rows
         # (integrators.common.pack_attrs layout), sharded with the
         # geometry so the full-scene attribute table never lives on one
         # device either — with this, NO per-triangle array is replicated
@@ -180,7 +180,7 @@ def attach_attrs(sb: ShardedBVH, tris, materials) -> ShardedBVH:
     `tris` is the PADDED, globally-ordered triangle SoA (the same order
     traverse_sharded's global ids index)."""
     from ..integrators.common import pack_attrs
-    attrs = pack_attrs(tris, materials)          # (D*S, 38)
+    attrs = pack_attrs(tris, materials)          # (D*S, 44)
     attrs = attrs.reshape(sb.n_shards, sb.shard_size, attrs.shape[-1])
     return ShardedBVH(sb.lo, sb.hi, sb.right, sb.start, sb.count,
                       sb.skip, sb.p0, sb.e1, sb.e2,
@@ -199,7 +199,7 @@ def stub_triangles(tris) -> "Triangles":
 
 
 def gather_attrs_sharded(sb: ShardedBVH, tri, mesh: Mesh = None):
-    """(N,) global triangle ids -> (N, 38) attribute rows via
+    """(N,) global triangle ids -> (N, 44) attribute rows via
     gather-by-owner: each shard serves the rows it owns and a psum
     merges them (SURVEY §2.11 scene-sharding; the collective replaces a
     replicated-table gather at n_shards x less HBM per device)."""
@@ -213,7 +213,7 @@ def gather_attrs_sharded(sb: ShardedBVH, tri, mesh: Mesh = None):
         idx = jax.lax.axis_index(RAY_AXIS)
         owner = tri // shard
         local = jnp.clip(tri - idx * shard, 0, shard - 1)
-        rows = attrs_local[0][local]             # (N, 38)
+        rows = attrs_local[0][local]             # (N, 44)
         rows = jnp.where((owner == idx)[:, None], rows, 0.0)
         return jax.lax.psum(rows, RAY_AXIS)
 

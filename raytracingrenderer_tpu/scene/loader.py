@@ -418,6 +418,13 @@ def load_scene(scene_dir: str, build_bvh: bool = True,
         # halves the scalar while_loop trips per ray block
         from ..ops.bvh_kernel import widen
         bvh = widen(bvh)
+        # NOTE: the ray-major MXU pair-testing path (ops/treelet.py)
+        # is NOT attached by default: built and exact, it measured
+        # ~670 ms vs the packet kernel's 111/370 ms on bathroom
+        # primaries/bounce rays — its per-ray candidate construction
+        # and sort/gather data movement cost more than the packet
+        # kernel's whole traversal (docs/MXU_AB_r5.md).  Call
+        # ops.treelet.attach_treelets(scene.bvh) to opt in.
         triangles = _reorder(triangles, order)
         # light table indexes triangles: remap
         inv = np.empty(len(order), np.int64)

@@ -242,7 +242,9 @@ class BVH:
 
     def __init__(self, lo, hi, right, start, count, skip,
                  leaf_max: int = 4, depth: int = 0,
-                 wsel=None, wcode=None, waxis=None):
+                 wsel=None, wcode=None, waxis=None,
+                 tl_nodes=None, tl_start=None, tl_count=None,
+                 tc_nodes=None, tc_start=None, tc_count=None):
         self.lo = lo         # (B, 3)
         self.hi = hi         # (B, 3)
         self.right = right   # (B,) int32: right-child index, -1 for leaf
@@ -264,25 +266,61 @@ class BVH:
         self.wsel = wsel
         self.wcode = wcode
         self.waxis = waxis
+        # Optional treelet cut (ops/treelet.attach_treelets): subtree
+        # roots with <= T_LEAF triangles each — the MXU pair-testing
+        # path's unit of work.  tl_nodes (K,) int32 node ids (their
+        # lo/hi ARE the treelet boxes, so refit keeps them fresh);
+        # tl_start/tl_count (K,) int32 contiguous triangle ranges.
+        self.tl_nodes = tl_nodes
+        self.tl_start = tl_start
+        self.tl_count = tl_count
+        # coarse grouping of the treelets for the two-level candidate
+        # search: tc_nodes (K2,) node ids (boxes), tc_start/tc_count
+        # (K2,) contiguous ranges into the tl_* arrays.
+        self.tc_nodes = tc_nodes
+        self.tc_start = tc_start
+        self.tc_count = tc_count
 
     def replace_wide(self, wsel, wcode, waxis) -> "BVH":
         return BVH(self.lo, self.hi, self.right, self.start, self.count,
                    self.skip, leaf_max=self.leaf_max, depth=self.depth,
                    wsel=jnp.asarray(wsel), wcode=jnp.asarray(wcode),
-                   waxis=jnp.asarray(waxis))
+                   waxis=jnp.asarray(waxis), tl_nodes=self.tl_nodes,
+                   tl_start=self.tl_start, tl_count=self.tl_count,
+                   tc_nodes=self.tc_nodes, tc_start=self.tc_start,
+                   tc_count=self.tc_count)
+
+    def replace_treelets(self, tl_nodes, tl_start, tl_count,
+                         tc_nodes, tc_start, tc_count) -> "BVH":
+        return BVH(self.lo, self.hi, self.right, self.start, self.count,
+                   self.skip, leaf_max=self.leaf_max, depth=self.depth,
+                   wsel=self.wsel, wcode=self.wcode, waxis=self.waxis,
+                   tl_nodes=jnp.asarray(tl_nodes),
+                   tl_start=jnp.asarray(tl_start),
+                   tl_count=jnp.asarray(tl_count),
+                   tc_nodes=jnp.asarray(tc_nodes),
+                   tc_start=jnp.asarray(tc_start),
+                   tc_count=jnp.asarray(tc_count))
 
     def tree_flatten(self):
         return ((self.lo, self.hi, self.right, self.start, self.count,
-                 self.skip, self.wsel, self.wcode, self.waxis),
+                 self.skip, self.wsel, self.wcode, self.waxis,
+                 self.tl_nodes, self.tl_start, self.tl_count,
+                 self.tc_nodes, self.tc_start, self.tc_count),
                 (self.leaf_max, self.depth))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         leaf_max, depth = aux
-        lo, hi, right, start, count, skip, wsel, wcode, waxis = children
+        (lo, hi, right, start, count, skip, wsel, wcode, waxis,
+         tl_nodes, tl_start, tl_count,
+         tc_nodes, tc_start, tc_count) = children
         return cls(lo, hi, right, start, count, skip,
                    leaf_max=leaf_max, depth=depth,
-                   wsel=wsel, wcode=wcode, waxis=waxis)
+                   wsel=wsel, wcode=wcode, waxis=waxis,
+                   tl_nodes=tl_nodes, tl_start=tl_start,
+                   tl_count=tl_count, tc_nodes=tc_nodes,
+                   tc_start=tc_start, tc_count=tc_count)
 
 
 def tree_depth(right: np.ndarray) -> int:

@@ -169,12 +169,16 @@ class TestGradients:
 
 class TestBoundaryBias:
     def test_occluder_translation_bias_is_detected(self, scene):
-        """The silhouette/visibility boundary term is a DESCOPE, not an
-        oversight: moving an occluder (cornell's tall box) must show a
-        large analytic-vs-FD mismatch on a shadow-dominated loss — the
-        measured numbers live in docs/BOUNDARY_BIAS_r4.md; this guard
-        keeps the descope measured (if boundary gradients ever get
-        implemented, this test should start failing and be inverted)."""
+        """The DEFAULT config's geometry gradient misses boundary
+        terms: moving an occluder (cornell's tall box) must show a
+        large analytic-vs-FD mismatch on this probe's loss.  Round 5
+        note (docs/BOUNDARY_r5.md): this probe's top-|dI/dx| mask is
+        dominated by the box's PRIMARY image silhouette, which stays
+        out of scope even with cfg.boundary_grads (and is ill-defined
+        at jitter=False); the NEE visibility boundary class that
+        cfg.boundary_grads=True closes is validated in
+        tests/test_boundary.py (0.4% vs FD on an analytic scene where
+        the boundary term is the whole gradient)."""
         import dataclasses
         cfg = dataclasses.replace(CFG, geom_grads=True)
         key = jax.random.PRNGKey(3)
@@ -202,9 +206,9 @@ class TestBoundaryBias:
         g_fd = float((loss(eps) - loss(-eps)) / (2 * eps))
         rel = abs(g_fd - g_a) / max(abs(g_fd), 1e-12)
         assert rel > 0.5, (
-            f"boundary bias unexpectedly small ({rel:.1%}) — if a "
-            "boundary estimator landed, invert this test and update "
-            "docs/BOUNDARY_BIAS_r4.md")
+            f"boundary bias unexpectedly small ({rel:.1%}) — if the "
+            "default config started estimating primary-silhouette "
+            "boundaries, update docs/BOUNDARY_r5.md and this guard")
 
 
 class TestRefit:

@@ -110,3 +110,84 @@ class TestPacketKernel:
                                    np.asarray(h_sorted.t)[act],
                                    rtol=1e-4, atol=1e-4)
         assert not (np.asarray(h_sorted.tri)[~act] >= 0).any()
+
+
+class TestTreelet:
+    """Ray-major MXU pair-testing path (ops/treelet.py): exact vs the
+    brute-force oracle, including the candidate-overflow fallback.
+    Default-OFF in production (the packet kernel wins on-chip —
+    docs/MXU_AB_r5.md); kept exact and tested as the committed A/B
+    artifact."""
+
+    def _soup(self, t, seed=0):
+        import numpy as np
+        from raytracingrenderer_tpu.geometry.bvh import build
+        from raytracingrenderer_tpu.ops import treelet
+        rng = np.random.default_rng(seed)
+        p0 = rng.uniform(-1, 1, (t, 3)).astype(np.float32)
+        e = rng.uniform(-0.1, 0.1, (t, 2, 3)).astype(np.float32)
+        tp = np.stack([p0, p0 + e[:, 0], p0 + e[:, 1]], axis=1)
+        bvh, order = build(tp)
+        tp = tp[order]
+        bvh = treelet.attach_treelets(bvh, t_max=32, g_child=6)
+        v3 = lambda a: V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
+                          jnp.asarray(a[:, 2]))
+
+        class Tr:
+            pass
+
+        tris = Tr()
+        tris.p0 = v3(tp[:, 0])
+        tris.e1 = v3(tp[:, 1] - tp[:, 0])
+        tris.e2 = v3(tp[:, 2] - tp[:, 0])
+        Tr.count = property(lambda self: t)
+        return bvh, tris
+
+    def _rays(self, n, seed=1):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        mk = lambda a: V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
+                          jnp.asarray(a[:, 2]))
+        return mk(o), mk(d)
+
+    def test_cut_covers_all_triangles(self):
+        import numpy as np
+        bvh, _ = self._soup(900)
+        assert int(jnp.sum(bvh.tl_count)) == 900
+        s = np.asarray(bvh.tl_start)
+        c = np.asarray(bvh.tl_count)
+        o_ = np.argsort(s)
+        assert (s[o_][1:] == (s[o_] + c[o_])[:-1]).all()
+        assert int(jnp.sum(bvh.tc_count)) == bvh.tl_nodes.shape[0]
+
+    @pytest.mark.slow
+    def test_matches_brute_force(self):
+        import numpy as np
+        from raytracingrenderer_tpu.geometry import intersect
+        from raytracingrenderer_tpu.ops import treelet
+        bvh, tris = self._soup(1500)
+        o, d = self._rays(512)
+        ref = intersect.closest_hit_brute(tris, o, d)
+        for seed in (jnp.full(512, intersect.BIG_T),
+                     jnp.minimum(ref.t, 1e30)):  # overflow + ideal
+            h = treelet.traverse_treelet(bvh, tris, o, d, seed,
+                                         interpret=True)
+            assert bool(jnp.all(h.tri == ref.tri))
+            np.testing.assert_allclose(
+                np.minimum(np.asarray(h.t), 1e30),
+                np.minimum(np.asarray(ref.t), 1e30), rtol=1e-4)
+
+    @pytest.mark.slow
+    def test_any_hit_matches_brute_force(self):
+        from raytracingrenderer_tpu.geometry import intersect
+        from raytracingrenderer_tpu.ops import treelet
+        bvh, tris = self._soup(1500)
+        o, d = self._rays(512, seed=2)
+        mt = jnp.full(512, 2.0)
+        occ_ref = intersect.any_hit_brute(tris, o, d, mt)
+        occ = treelet.any_hit_treelet(bvh, tris, o, d, mt,
+                                      interpret=True)
+        assert bool(jnp.all(occ == occ_ref))
