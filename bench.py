@@ -108,6 +108,24 @@ dt = time.perf_counter() - t0
 out["fwdbwd_pps"] = bw * bh * steps / dt
 out["fwd_over_fwdbwd"] = round(out["fwd_pps"] / out["fwdbwd_pps"], 2)
 
+# matched-dispatch ratio (docs/TRAIN_PROFILE_r5.md): the legacy ratio
+# above compares a 32-sample-chunk-amortized forward against per-step
+# training; the honest physics ratio uses a single-sample forward
+# dispatch.  Measured decomposition: 3.3 legacy = 2.67 matched x ~1.22
+# amortization convention.
+from raytracingrenderer_tpu.render import sample_image
+f1 = jax.jit(lambda k: sample_image(sc2, k, cfg2))
+img1 = f1(key)
+jax.block_until_ready(img1)
+ts = []
+for i in range(5):
+    t0 = time.perf_counter()
+    img1 = f1(jax.random.PRNGKey(10 + i))
+    jax.block_until_ready(img1)
+    ts.append(time.perf_counter() - t0)
+fwd1 = bw * bh / float(np.median(ts))
+out["fwd_over_fwdbwd_matched"] = round(fwd1 / out["fwdbwd_pps"], 2)
+
 # ---------------- bathroom (BVH-scene north star) ----------------------
 if on_tpu:
     from raytracingrenderer_tpu.core.vec import V3

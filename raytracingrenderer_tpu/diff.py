@@ -43,18 +43,18 @@ def _split_scene(scene: Scene):
     the INTERIOR term of the rendering integral via the hit-point
     reparameterization in integrators.common.shading_data (cfg must set
     geom_grads=True — train_step/param_grads do).  Silhouette/visibility
-    BOUNDARY terms (the edge integral of Li et al.-style differentiable
-    rendering) are an explicit, MEASURED descope: hit ids and occlusion
-    bits stay detached, so a gradient step never sees radiance jumping
-    across a moving silhouette.  Measured magnitude (occluder
-    translation on cornell-box, docs/BOUNDARY_BIAS_r4.md): on a
-    shadow-edge-dominated loss the analytic gradient is wrong-signed
-    (-0.055 analytic vs +0.036 FD, 253% relative bias); on a full-image
-    loss the interior term dominates but the bias remains order-of the
-    gradient itself.  Interior-dominated losses match FD to ~2%
-    (tests/test_diff.py); silhouette-driven geometry optimization is
-    unsupported until a warped-area/edge-sampling estimator lands
-    (tests/test_diff.py::TestBoundaryBias keeps the descope measured).
+    BOUNDARY terms: the NEE visibility boundary (the dominant class for
+    area-lit scenes) is estimated by the edge-sampling injector in
+    integrators/boundary.py when cfg.boundary_grads=True — validated
+    to 0.4% against FD on an analytic occluder scene where the
+    boundary term is the entire gradient, and an occluder-position
+    optimization converges through it (tests/test_boundary.py,
+    docs/BOUNDARY_r5.md).  Still-descope boundary classes (off even
+    with the flag): environment-light visibility, BSDF-sampled
+    indirect visibility, and the primary camera silhouette (pixels
+    whose primary hit flips — ill-defined at jitter=False anyway);
+    tests/test_diff.py::TestBoundaryBias keeps that residual measured.
+    Interior-dominated losses match FD to ~2% (tests/test_diff.py).
     """
     params = dict(
         albedo=scene.materials.albedo,
