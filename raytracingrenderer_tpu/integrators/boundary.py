@@ -173,17 +173,6 @@ def boundary_direct(scene: Scene, sh: Shading, active, key, depth, ids,
         gn_l = jax.tree_util.tree_map(sg, lt.gn.gather(li))
         light_le = jax.tree_util.tree_map(sg, lt.le.gather(li))
 
-        # --- edge sample (detached structure, attached endpoints) -----
-        k = jnp.clip(
-            jnp.searchsorted(cdf, r_edge * total_len, side="right")
-            .astype(jnp.int32), 0, lens.shape[0] - 1)
-        tri = k // 3
-        which = k - 3 * tri
-        a, b = _edge_endpoints(scene, tri, which)
-        # never sample the picked light's own edges (its domain boundary
-        # is handled by differentiable area sampling, not visibility)
-        on_light = tri == jax.lax.stop_gradient(lt.tri[li])
-
         def inside(p):
             d00 = le1.dot(le1)
             d01 = le1.dot(le2)
@@ -196,28 +185,83 @@ def boundary_direct(scene: Scene, sh: Shading, active, key, depth, ids,
             be = (d00 * dp2 - d01 * dp1) / det
             return (al >= 0.0) & (be >= 0.0) & (al + be <= 1.0)
 
-        # --- guided t-sampling along the edge -------------------------
-        # Most edge points project OUTSIDE the light (measured hit rate
-        # ~0.04% on cornell with uniform t), so t is drawn from a
-        # mixture: 90% from the cells of an 8-cell grid whose endpoint
-        # probes project inside the light (and can occlude), 10%
-        # uniform so the density is positive wherever the integrand is
-        # (unbiased; contributions divide by the mixture density).
-        def probe_t(tv):
-            zt = sg(a + (b - a) * tv)
-            den_t = sg(n_l).dot(zt - x)
-            sd = jnp.where(jnp.abs(den_t) < 1e-12, 1.0, den_t)
-            st = jnp.where(jnp.abs(den_t) < 1e-12, -1.0,
-                           sg(num_det) / sd)
-            yt = x + (zt - x) * st
-            return (st > 1.0 + 1e-5) & sg(inside(yt))
-
         num_det = sg(n_l.dot(q0 - x))
         S_CELLS = 8
-        vend = [probe_t(jnp.float32(j / S_CELLS))
-                for j in range(S_CELLS + 1)]
-        vcell = jnp.stack([vend[j] | vend[j + 1]
-                           for j in range(S_CELLS)], axis=-1)  # (N, 8)
+
+        def valid_cells(ae, be_):
+            """(N, S_CELLS) bool: grid cells of edge (ae,be_) whose
+            endpoint projections land inside the light with s>1."""
+            def probe_t(tv):
+                zt = sg(ae + (be_ - ae) * tv)
+                den_t = sg(n_l).dot(zt - sg(x))
+                sd = jnp.where(jnp.abs(den_t) < 1e-12, 1.0, den_t)
+                st = jnp.where(jnp.abs(den_t) < 1e-12, -1.0,
+                               num_det / sd)
+                yt = sg(x) + (zt - sg(x)) * st
+                return (st > 1.0 + 1e-5) & sg(inside(yt))
+
+            vend = [probe_t(jnp.float32(j / S_CELLS))
+                    for j in range(S_CELLS + 1)]
+            return jnp.stack([vend[j] | vend[j + 1]
+                              for j in range(S_CELLS)], axis=-1)
+
+        # --- RIS edge selection (detached structure) ------------------
+        # A single length-weighted edge draw almost never projects into
+        # the light (~0.04% measured on cornell): resample-importance-
+        # sample E_TRY length-weighted candidates with target
+        # p_hat = n_valid_cells + eps (eps > 0 keeps the estimator
+        # unbiased: p_hat is positive wherever the integrand can be),
+        # pick one ~ p_hat/p_len, and carry the standard Talbot-RIS
+        # factor (mean of p_hat/p_len over candidates) / p_hat_pick in
+        # place of 1/p_len.
+        E_TRY = 4
+        RIS_EPS = 0.05
+        cand_k, cand_ph, cand_w = [], [], []
+        for j in range(E_TRY):
+            r_ej = rng.uniform_ids(jax.random.fold_in(ekey, 0xE0 + j),
+                                   depth, rng.BND_EDGE, ids)
+            kj = jnp.clip(
+                jnp.searchsorted(cdf, r_ej * total_len, side="right")
+                .astype(jnp.int32), 0, lens.shape[0] - 1)
+            tj = kj // 3
+            aj, bj = _edge_endpoints(scene, tj, kj - 3 * tj)
+            aj = jax.tree_util.tree_map(sg, aj)
+            bj = jax.tree_util.tree_map(sg, bj)
+            ph = (jnp.sum(valid_cells(aj, bj), axis=-1)
+                  .astype(jnp.float32) + RIS_EPS)
+            cand_k.append(kj)
+            cand_ph.append(ph)
+            cand_w.append(ph / sg(jnp.maximum(lens[kj], 1e-12)
+                                  / total_len))
+        wsum = sum(cand_w)
+        r_ris = rng.uniform_ids(jax.random.fold_in(ekey, 0xEF),
+                                depth, rng.BND_EDGE, ids)
+        target = r_ris * wsum
+        acc = jnp.zeros_like(wsum)
+        pick_j = jnp.zeros_like(cand_k[0])
+        for j in range(E_TRY):
+            prev = acc
+            acc = acc + cand_w[j]
+            pick_j = jnp.where((target >= prev) & (target < acc), j,
+                               pick_j)
+        k = jnp.stack(cand_k, 1)[jnp.arange(pick_j.shape[0]), pick_j]
+        ph_pick = jnp.stack(cand_ph, 1)[jnp.arange(pick_j.shape[0]),
+                                        pick_j]
+        ris_w = sg(wsum / (E_TRY * jnp.maximum(ph_pick, 1e-6)))
+
+        tri = k // 3
+        which = k - 3 * tri
+        a, b = _edge_endpoints(scene, tri, which)
+        # never sample the picked light's own edges (its domain boundary
+        # is handled by differentiable area sampling, not visibility)
+        on_light = tri == jax.lax.stop_gradient(lt.tri[li])
+
+        # --- guided t-sampling along the picked edge ------------------
+        # t is drawn from a mixture: 90% from the valid cells, 10%
+        # uniform so the density is positive wherever the integrand is
+        # (unbiased; contributions divide by the mixture density).
+        vcell = valid_cells(jax.tree_util.tree_map(sg, a),
+                            jax.tree_util.tree_map(sg, b))
         n_valid = jnp.sum(vcell, axis=-1)
         csum = jnp.cumsum(vcell.astype(jnp.int32), axis=-1)
         u = rng.uniform_ids(ekey, depth, rng.BND_CELL, ids)
@@ -292,8 +336,10 @@ def boundary_direct(scene: Scene, sh: Shading, active, key, depth, ids,
 
         # --- zero-primal injection ------------------------------------
         vel = y.dot(m_hat) - sg(y.dot(m_hat))     # primal 0, grad = dy.m
-        w = sg(jnp.where(worth, speed / (jnp.maximum(
-            lens[k], 1e-12) / total_len * pmf_pick * dens
-            * cfg.boundary_samples), 0.0))
+        # ris_w replaces the 1/p_len(k) factor of a plain length-
+        # weighted edge draw (see the RIS block above)
+        w = sg(jnp.where(worth, speed * ris_w / (pmf_pick * dens
+                                                 * cfg.boundary_samples),
+                         0.0))
         out = out + h * (-(jump) * w * vel)
     return out
