@@ -337,8 +337,12 @@ def boundary_direct(scene: Scene, sh: Shading, active, key, depth, ids,
         # --- zero-primal injection ------------------------------------
         vel = y.dot(m_hat) - sg(y.dot(m_hat))     # primal 0, grad = dy.m
         # ris_w replaces the 1/p_len(k) factor of a plain length-
-        # weighted edge draw (see the RIS block above)
-        w = sg(jnp.where(worth, speed * ris_w / (pmf_pick * dens
+        # weighted edge draw (see the RIS block above); edge_mult
+        # divides out shared-edge double counting (a closed mesh's
+        # silhouette edge appears in two triangles — Scene.edge_mult)
+        mult = (scene.edge_mult[k]
+                if scene.edge_mult is not None else 1.0)
+        w = sg(jnp.where(worth, speed * ris_w / (pmf_pick * dens * mult
                                                  * cfg.boundary_samples),
                          0.0))
         out = out + h * (-(jump) * w * vel)

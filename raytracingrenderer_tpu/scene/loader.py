@@ -435,7 +435,37 @@ def load_scene(scene_dir: str, build_bvh: bool = True,
     return Scene(triangles=triangles, materials=materials,
                  textures=tex.build_atlas(), lights=lights,
                  background=background, camera=camera, bounds=bounds,
-                 bvh=bvh)
+                 bvh=bvh, edge_mult=_edge_multiplicity(triangles))
+
+
+def _edge_multiplicity(tris: Triangles) -> jnp.ndarray:
+    """(3T,) f32: how many triangles share each geometric edge (exact
+    endpoint match, orientation-free).  The boundary estimator divides
+    by this so shared silhouette edges are not integrated once per
+    incident triangle (Scene.edge_mult docstring)."""
+    p0 = np.stack([np.asarray(tris.p0.x), np.asarray(tris.p0.y),
+                   np.asarray(tris.p0.z)], -1)
+    p1 = p0 + np.stack([np.asarray(tris.e1.x), np.asarray(tris.e1.y),
+                        np.asarray(tris.e1.z)], -1)
+    p2 = p0 + np.stack([np.asarray(tris.e2.x), np.asarray(tris.e2.y),
+                        np.asarray(tris.e2.z)], -1)
+    ends = np.stack([np.stack([p0, p1], 1), np.stack([p1, p2], 1),
+                     np.stack([p2, p0], 1)], 1)      # (T, 3, 2, 3)
+    t = ends.shape[0]
+    flat = ends.reshape(t * 3, 2, 3)
+    # canonical endpoint order (lexicographic), then exact-byte keys
+    a, b = flat[:, 0], flat[:, 1]
+    a_first = ((a[:, 0] < b[:, 0])
+               | ((a[:, 0] == b[:, 0])
+                  & ((a[:, 1] < b[:, 1])
+                     | ((a[:, 1] == b[:, 1]) & (a[:, 2] <= b[:, 2])))))
+    lo = np.where(a_first[:, None], a, b)
+    hi = np.where(a_first[:, None], b, a)
+    keys = np.concatenate([lo, hi], 1).astype(np.float32).view(np.uint8)
+    keys = keys.reshape(t * 3, -1)
+    _, inverse, counts = np.unique(keys, axis=0, return_inverse=True,
+                                   return_counts=True)
+    return jnp.asarray(counts[inverse].astype(np.float32))
 
 
 def _reorder_padded(t: Triangles, order: np.ndarray) -> Triangles:

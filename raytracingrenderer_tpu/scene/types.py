@@ -345,6 +345,14 @@ class Scene(NamedTuple):
     camera: Camera
     bounds: SceneBounds
     bvh: Optional[BVH]
+    # (3T,) f32 multiplicity of each triangle edge (edge k = 3j+w of
+    # triangle j): how many triangles share that geometric edge.  The
+    # boundary-term estimator (integrators/boundary.py) divides each
+    # edge sample's contribution by it — a silhouette edge of a closed
+    # mesh appears in TWO triangles and would otherwise be integrated
+    # twice (measured ~2.3x overestimate on cornell's boxes).  None =
+    # treat as 1 (correct for open single-sided sheets).
+    edge_mult: Optional[jax.Array] = None
 
     @property
     def num_lights(self) -> int:
