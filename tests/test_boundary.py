@@ -278,3 +278,43 @@ class TestBoundaryCornell:
                                                             true_bnd)
         # and the boundary-corrected gradient is closer to FD
         assert abs(gb_m - fd_m) < abs(gi_m - fd_m), (gb_m, gi_m, fd_m)
+
+
+@pytest.mark.slow
+def test_wavefront_backward_carries_boundary_term():
+    """The host-chained wavefront backward must reproduce scan-mode
+    gradients when cfg.boundary_grads is on (its tape replays
+    bounce_step, whose boundary injector re-traces probe rays in the
+    vjp re-trace)."""
+    from conftest import ref_path
+    from raytracingrenderer_tpu.diff import (_diff_cfg, _split_scene,
+                                             render_loss)
+    from raytracingrenderer_tpu.integrators import wavefront_diff
+    from raytracingrenderer_tpu.scene.loader import load_scene
+    from raytracingrenderer_tpu.scene.types import Camera
+
+    RES = 24
+    sc = load_scene(ref_path("cornell-box"))
+    c = sc.camera
+    sc = sc._replace(camera=Camera(c.p, c.p_inv, c.cam_to_world,
+                                   c.world_to_cam, RES, RES, c.origin,
+                                   c.a_film))
+    cfg = dataclasses.replace(
+        RenderConfig(mis=False, jitter=False, rr=False, max_depth=2),
+        boundary_grads=True, boundary_samples=2)
+    key = jax.random.PRNGKey(7)
+    target = jnp.zeros((RES, RES, 3), jnp.float32)
+    loss_wf, g_wf = wavefront_diff.loss_and_grads(sc, target, key, cfg)
+    dcfg = _diff_cfg(cfg, sc)
+    params, _ = _split_scene(sc)
+    loss_sc, g_sc = jax.value_and_grad(render_loss)(params, sc, target,
+                                                    key, dcfg)
+    assert float(loss_wf) == pytest.approx(float(loss_sc), rel=1e-5)
+    # tri_p0 carries the boundary term; it must be nonzero and equal
+    tp = np.asarray(g_sc["tri_p0"].x)
+    assert np.abs(tp).max() > 0
+    for k2 in params:
+        for a, b in zip(jax.tree_util.tree_leaves(g_wf[k2]),
+                        jax.tree_util.tree_leaves(g_sc[k2])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-6)
