@@ -20,7 +20,8 @@
 
 namespace {
 
-constexpr int kNumBins = 16;
+constexpr int kNumBins = 16;   // legacy bvh_build() entry
+constexpr int kMaxBins = 128;  // bvh_build_q() upper bound
 constexpr float kTraverseCost = 1.0f;
 constexpr float kTriangleCost = 2.0f;
 
@@ -53,6 +54,8 @@ struct AABB {
 struct Builder {
   const float* verts;  // (T, 9)
   int max_leaf;
+  int bins = kNumBins;
+  bool all_axes = false;  // sweep every axis's bins, take the global best
   std::vector<AABB> tri_box;
   std::vector<Vec3> centroid;
   std::vector<int> order;
@@ -83,35 +86,40 @@ struct Builder {
     if (n <= max_leaf) return emit(bounds, -1, first, n);
 
     float ext[3] = {cmax.x - cmin.x, cmax.y - cmin.y, cmax.z - cmin.z};
-    int axis = 0;
-    if (ext[1] > ext[axis]) axis = 1;
-    if (ext[2] > ext[axis]) axis = 2;
-    int mid;
-    if (ext[axis] < 1e-12f) {
-      mid = first + n / 2;  // degenerate: even split
-    } else {
-      float cmin_a = axis == 0 ? cmin.x : (axis == 1 ? cmin.y : cmin.z);
-      float inv = kNumBins / ext[axis];
-      AABB bin_box[kNumBins];
-      int bin_cnt[kNumBins] = {0};
-      auto bin_of = [&](int t) {
-        float c = axis == 0 ? centroid[t].x
-                            : (axis == 1 ? centroid[t].y : centroid[t].z);
-        int b = static_cast<int>((c - cmin_a) * inv);
-        return std::min(std::max(b, 0), kNumBins - 1);
-      };
+    float cmin_v[3] = {cmin.x, cmin.y, cmin.z};
+    int big = 0;
+    if (ext[1] > ext[big]) big = 1;
+    if (ext[2] > ext[big]) big = 2;
+    // Sweep candidate split axes (just the largest centroid axis by
+    // default; all three when all_axes — round 5: -32% global SAH on
+    // bathroom, -16% on-chip incoherent traversal,
+    // scripts/probe_build_quality.py / probe_build_ab.py).
+    const int a0 = all_axes ? 0 : big, a1 = all_axes ? 2 : big;
+    int best_axis = -1, best_bin = -1;
+    float best_cost = FLT_MAX;
+    float inv_root = 1.0f / std::max(bounds.area(), 1e-30f);
+    auto cent_of = [&](int t, int axis) {
+      return axis == 0 ? centroid[t].x
+                       : (axis == 1 ? centroid[t].y : centroid[t].z);
+    };
+    for (int axis = a0; axis <= a1; ++axis) {
+      if (ext[axis] < 1e-12f) continue;
+      float inv = bins / ext[axis];
+      AABB bin_box[kMaxBins];
+      int bin_cnt[kMaxBins] = {0};
       for (int i = 0; i < n; ++i) {
         int t = order[first + i];
-        int b = bin_of(t);
+        int b = static_cast<int>((cent_of(t, axis) - cmin_v[axis]) * inv);
+        b = std::min(std::max(b, 0), bins - 1);
         bin_box[b].extend(tri_box[t]);
         bin_cnt[b]++;
       }
       // prefix/suffix sweeps
-      float l_area[kNumBins - 1], r_area[kNumBins - 1];
-      int l_cnt[kNumBins - 1], r_cnt[kNumBins - 1];
+      float l_area[kMaxBins - 1], r_area[kMaxBins - 1];
+      int l_cnt[kMaxBins - 1], r_cnt[kMaxBins - 1];
       AABB acc;
       int cnt = 0;
-      for (int b = 0; b < kNumBins - 1; ++b) {
+      for (int b = 0; b < bins - 1; ++b) {
         acc.extend(bin_box[b]);
         cnt += bin_cnt[b];
         l_area[b] = acc.area();
@@ -119,16 +127,13 @@ struct Builder {
       }
       acc = AABB();
       cnt = 0;
-      for (int b = kNumBins - 1; b >= 1; --b) {
+      for (int b = bins - 1; b >= 1; --b) {
         acc.extend(bin_box[b]);
         cnt += bin_cnt[b];
         r_area[b - 1] = acc.area();
         r_cnt[b - 1] = cnt;
       }
-      int best = -1;
-      float best_cost = FLT_MAX;
-      float inv_root = 1.0f / std::max(bounds.area(), 1e-30f);
-      for (int b = 0; b < kNumBins - 1; ++b) {
+      for (int b = 0; b < bins - 1; ++b) {
         if (l_cnt[b] == 0 || r_cnt[b] == 0) continue;
         float cost = kTraverseCost +
                      kTriangleCost *
@@ -136,20 +141,26 @@ struct Builder {
                          inv_root;
         if (cost < best_cost) {
           best_cost = cost;
-          best = b;
+          best_axis = axis;
+          best_bin = b;
         }
       }
-      if (best < 0) {
-        mid = first + n / 2;
-      } else if (best_cost >= kTriangleCost * n && n <= max_leaf) {
-        return emit(bounds, -1, first, n);  // leaf cheaper than split
-      } else {
-        auto it = std::partition(
-            order.begin() + first, order.begin() + first + n,
-            [&](int t) { return bin_of(t) <= best; });
-        mid = static_cast<int>(it - order.begin());
-        if (mid == first || mid == first + n) mid = first + n / 2;
-      }
+    }
+    int mid;
+    if (best_axis < 0) {
+      mid = first + n / 2;  // degenerate: even split
+    } else if (best_cost >= kTriangleCost * n && n <= max_leaf) {
+      return emit(bounds, -1, first, n);  // leaf cheaper than split
+    } else {
+      float inv = bins / ext[best_axis];
+      float c0 = cmin_v[best_axis];
+      auto it = std::partition(
+          order.begin() + first, order.begin() + first + n, [&](int t) {
+            int b = static_cast<int>((cent_of(t, best_axis) - c0) * inv);
+            return std::min(std::max(b, 0), bins - 1) <= best_bin;
+          });
+      mid = static_cast<int>(it - order.begin());
+      if (mid == first || mid == first + n) mid = first + n / 2;
     }
     int node = emit(bounds, 0, 0, 0);  // patched below
     build(first, mid - first);
@@ -164,14 +175,19 @@ struct Builder {
 extern "C" {
 
 // Returns the node count (<= 2*t_count); caller allocates outputs with
-// capacity 2*t_count (nodes) and t_count (order).
-int bvh_build(const float* tri_verts, int t_count, int max_leaf,
-              float* out_lo, float* out_hi, int* out_right,
-              int* out_start, int* out_count, int* out_order) {
+// capacity 2*t_count (nodes) and t_count (order).  bins in [2,128];
+// all_axes != 0 sweeps every axis's bins and takes the global best
+// (round-5 quality build; the legacy bvh_build entry keeps 16/largest).
+int bvh_build_q(const float* tri_verts, int t_count, int max_leaf,
+                int bins, int all_axes,
+                float* out_lo, float* out_hi, int* out_right,
+                int* out_start, int* out_count, int* out_order) {
   if (t_count <= 0) return 0;
   Builder b;
   b.verts = tri_verts;
   b.max_leaf = max_leaf;
+  b.bins = std::min(std::max(bins, 2), kMaxBins);
+  b.all_axes = all_axes != 0;
   b.tri_box.resize(t_count);
   b.centroid.resize(t_count);
   b.order.resize(t_count);
@@ -196,6 +212,13 @@ int bvh_build(const float* tri_verts, int t_count, int max_leaf,
   std::memcpy(out_count, b.count.data(), sizeof(int) * n_nodes);
   std::memcpy(out_order, b.order.data(), sizeof(int) * n_tri);
   return n_nodes;
+}
+
+int bvh_build(const float* tri_verts, int t_count, int max_leaf,
+              float* out_lo, float* out_hi, int* out_right,
+              int* out_start, int* out_count, int* out_order) {
+  return bvh_build_q(tri_verts, t_count, max_leaf, kNumBins, 0, out_lo,
+                     out_hi, out_right, out_start, out_count, out_order);
 }
 
 // Walker/Vose alias-table construction for O(1) discrete sampling on

@@ -43,6 +43,17 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            if hasattr(lib, "bvh_build_q"):
+                lib.bvh_build_q.restype = ctypes.c_int
+                lib.bvh_build_q.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int)]
             if hasattr(lib, "alias_build"):
                 lib.alias_build.restype = None
                 lib.alias_build.argtypes = [
@@ -59,12 +70,19 @@ def available() -> bool:
     return _load() is not None
 
 
-def build(tp: np.ndarray, max_leaf: int = 4) -> Tuple[BVH, np.ndarray]:
-    """tp: (T, 3, 3) vertex positions -> (flat BVH, triangle order)."""
+def build(tp: np.ndarray, max_leaf: int = 4, bins: int = 16,
+          all_axes: bool = False) -> Tuple[BVH, np.ndarray]:
+    """tp: (T, 3, 3) vertex positions -> (flat BVH, triangle order).
+
+    bins/all_axes: SAH quality knobs (round 5) — forwarded to the native
+    bvh_build_q entry when present, else to the Python builder.  On
+    bathroom, 64-bin all-axes cuts global SAH cost 32% and on-chip
+    incoherent packet traversal 16% (scripts/probe_build_ab.py)."""
     lib = _load()
-    if lib is None:
+    if lib is None or (not hasattr(lib, "bvh_build_q")
+                       and (bins != 16 or all_axes)):
         from . import bvh as py_bvh
-        return py_bvh.build(tp, max_leaf)
+        return py_bvh.build(tp, max_leaf, bins=bins, all_axes=all_axes)
     t = len(tp)
     verts = np.ascontiguousarray(tp.reshape(t, 9), np.float32)
     cap = max(2 * t, 1)
@@ -76,11 +94,18 @@ def build(tp: np.ndarray, max_leaf: int = 4) -> Tuple[BVH, np.ndarray]:
     order = np.empty(max(t, 1), np.int32)
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int)
-    n_nodes = lib.bvh_build(
-        verts.ctypes.data_as(fp), t, max_leaf,
-        lo.ctypes.data_as(fp), hi.ctypes.data_as(fp),
-        right.ctypes.data_as(ip), start.ctypes.data_as(ip),
-        count.ctypes.data_as(ip), order.ctypes.data_as(ip))
+    if hasattr(lib, "bvh_build_q"):
+        n_nodes = lib.bvh_build_q(
+            verts.ctypes.data_as(fp), t, max_leaf, bins, int(all_axes),
+            lo.ctypes.data_as(fp), hi.ctypes.data_as(fp),
+            right.ctypes.data_as(ip), start.ctypes.data_as(ip),
+            count.ctypes.data_as(ip), order.ctypes.data_as(ip))
+    else:
+        n_nodes = lib.bvh_build(
+            verts.ctypes.data_as(fp), t, max_leaf,
+            lo.ctypes.data_as(fp), hi.ctypes.data_as(fp),
+            right.ctypes.data_as(ip), start.ctypes.data_as(ip),
+            count.ctypes.data_as(ip), order.ctypes.data_as(ip))
     if n_nodes <= 0:
         from . import bvh as py_bvh
         return py_bvh.build(tp, max_leaf)

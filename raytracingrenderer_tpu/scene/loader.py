@@ -412,8 +412,11 @@ def load_scene(scene_dir: str, build_bvh: bool = True,
         # table alongside the triangle table.
         from ..geometry.bvh_native import build as bvh_build
         # 14 = the most triangle slots (9 floats each) that fit one
-        # 128-lane leaf row of the packet kernel's VMEM layout
-        bvh, order = bvh_build(tp, max_leaf=14)
+        # 128-lane leaf row of the packet kernel's VMEM layout.
+        # 64-bin all-axes SAH (round 5): -32% global tree cost, -16%
+        # on-chip incoherent traversal on bathroom, identical hit t's
+        # (scripts/probe_build_ab.py)
+        bvh, order = bvh_build(tp, max_leaf=14, bins=64, all_axes=True)
         # 4-wide collapse for the packet kernel (ops/bvh_kernel.widen):
         # halves the scalar while_loop trips per ray block
         from ..ops.bvh_kernel import widen
