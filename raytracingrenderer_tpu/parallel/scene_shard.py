@@ -100,7 +100,8 @@ def build_sharded(tp: np.ndarray, n_shards: int, max_leaf: int = 14
     from ..geometry import bvh_native
 
     t = len(tp)
-    _, order = bvh_native.build(tp, max_leaf=max_leaf)
+    _, order = bvh_native.build(tp, max_leaf=max_leaf, bins=64,
+                                all_axes=True)
     shard = -(-t // n_shards)
     padded = np.full(n_shards * shard, -1, np.int64)
     padded[:t] = order
@@ -114,7 +115,8 @@ def build_sharded(tp: np.ndarray, n_shards: int, max_leaf: int = 14
         ids = padded[i * shard:(i + 1) * shard]
         ids = ids[ids >= 0]
         if len(ids):
-            sub, sub_order = bvh_native.build(tp[ids], max_leaf=max_leaf)
+            sub, sub_order = bvh_native.build(tp[ids], max_leaf=max_leaf,
+                                              bins=64, all_axes=True)
             # reorder the chunk by the sub-build's own order
             ids = ids[sub_order]
             padded[i * shard:i * shard + len(ids)] = ids

@@ -66,6 +66,20 @@ def bench(label, bvh, order):
     return f(o, d)
 
 
+import sys
+
+if "--variants" in sys.argv:
+    bench("quality 64b all-axes leaf14",
+          *bvh_native.build(tp, max_leaf=14, bins=64, all_axes=True))
+    bench("quality 64b all-axes leaf10",
+          *bvh_native.build(tp, max_leaf=10, bins=64, all_axes=True))
+    bench("quality 64b all-axes leaf12",
+          *bvh_native.build(tp, max_leaf=12, bins=64, all_axes=True))
+    refs = B.presplit(tp, area_factor=0.5, max_ratio=1.3)
+    bench("presplit(0.5,1.3) 64b all-axes",
+          *B.build(tp, max_leaf=14, bins=64, all_axes=True, refs=refs))
+    raise SystemExit(0)
+
 h0 = bench("baseline 16b largest-axis",
            *bvh_native.build(tp, max_leaf=14))
 h1 = bench("quality 64b all-axes",
