@@ -25,6 +25,35 @@ def rays_toward(scene, n, seed):
             V3.from_stacked(jnp.asarray(d.astype(np.float32))))
 
 
+def _tris_of(tp):
+    """Minimal Triangles SoA over a (T, 3, 3) vertex soup."""
+    from raytracingrenderer_tpu.scene.types import Triangles
+    t = len(tp)
+    z = jnp.zeros(t)
+    zv = V3(z, z, z)
+    return Triangles(
+        p0=V3.from_stacked(jnp.asarray(tp[:, 0])),
+        e1=V3.from_stacked(jnp.asarray(tp[:, 1] - tp[:, 0])),
+        e2=V3.from_stacked(jnp.asarray(tp[:, 2] - tp[:, 0])),
+        gn=zv, n0=zv, n1=zv, n2=zv,
+        uv0=jnp.zeros((t, 2)), uv1=jnp.zeros((t, 2)),
+        uv2=jnp.zeros((t, 2)), area=z,
+        mat_id=jnp.zeros(t, jnp.int32),
+        light_id=jnp.full(t, -1, jnp.int32))
+
+
+def _soup_rays(tp, n, seed):
+    """Random rays aimed at the soup's bounding region."""
+    rng = np.random.default_rng(seed)
+    c = tp.reshape(-1, 3).mean(0)
+    r = float(np.abs(tp.reshape(-1, 3) - c).max())
+    o = c + rng.standard_normal((n, 3)) * r
+    d = (c + rng.standard_normal((n, 3)) * 0.5 * r) - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (V3.from_stacked(jnp.asarray(o.astype(np.float32))),
+            V3.from_stacked(jnp.asarray(d.astype(np.float32))))
+
+
 @pytest.fixture(scope="module")
 def cornell():
     return load_scene(ref_path("cornell-box"))
@@ -115,6 +144,57 @@ class TestNativeBuilder:
         bvh, order = bvh_native.build(tp)
         from raytracingrenderer_tpu.geometry.bvh import validate
         validate(bvh, tp[order])
+
+    def test_quality_build_contract_and_hits(self):
+        """Round-5 all-axes/64-bin quality build (the load-path
+        default): contract invariants hold, native == Python oracle on
+        global SAH cost, and hit t's match the baseline tree exactly
+        (same geometry, different topology)."""
+        from raytracingrenderer_tpu.geometry import bvh_native
+        from raytracingrenderer_tpu.geometry.bvh import (build, sah_cost,
+                                                         validate)
+        if not bvh_native.available():
+            pytest.skip("native builder not built")
+        rng = np.random.default_rng(11)
+        tp = rng.standard_normal((4000, 3, 3)).astype(np.float32)
+        tp[:4] *= 25.0  # a few huge triangles, bathroom-style
+        nat, n_order = bvh_native.build(tp, max_leaf=14, bins=64,
+                                        all_axes=True)
+        validate(nat, tp[n_order])
+        py, p_order = build(tp, max_leaf=14, bins=64, all_axes=True)
+        validate(py, tp[p_order])
+        assert abs(sah_cost(nat) - sah_cost(py)) < 0.05 * sah_cost(py)
+        # (No "quality <= legacy cost" assert: greedy top-down SAH is
+        # not monotone in local search quality on unstructured soups —
+        # the 32% bathroom win is pinned in docs/BUILD_QUALITY_r5.md.)
+        base, b_order = bvh_native.build(tp, max_leaf=14)
+        tris_n = _tris_of(tp[n_order])
+        tris_b = _tris_of(tp[b_order])
+        o, d = _soup_rays(tp, 512, 3)
+        hn = intersect.closest_hit_bvh(nat, tris_n, o, d)
+        hb = intersect.closest_hit_bvh(base, tris_b, o, d)
+        np.testing.assert_allclose(np.asarray(hn.t), np.asarray(hb.t),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_presplit_refs_exact(self):
+        """presplit() references (early split clipping): the build over
+        clipped AABBs with duplicated full-triangle leaves returns the
+        same closest hits as brute force (probe apparatus, default
+        off — docs/BUILD_QUALITY_r5.md)."""
+        from raytracingrenderer_tpu.geometry.bvh import build, presplit
+        rng = np.random.default_rng(13)
+        tp = rng.standard_normal((600, 3, 3)).astype(np.float32)
+        tp[:6] *= 20.0
+        refs = presplit(tp, area_factor=0.25, max_ratio=1.6)
+        assert len(refs[2]) > len(tp)  # actually split something
+        assert set(refs[2].tolist()) == set(range(len(tp)))  # all covered
+        bvh, order = build(tp, max_leaf=14, refs=refs)
+        tris = _tris_of(tp[order])
+        o, d = _soup_rays(tp, 512, 5)
+        hb = intersect.closest_hit_brute(_tris_of(tp), o, d)
+        hv = intersect.closest_hit_bvh(bvh, tris, o, d)
+        np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hv.t),
+                                   rtol=1e-4, atol=1e-4)
 
     def test_native_traversal_matches_brute(self):
         from raytracingrenderer_tpu.geometry import bvh_native
